@@ -1,0 +1,66 @@
+"""Parse stage: webtext (url, warc_ts, html, ...) -> flat page-record frame.
+
+Spark analog of the reference's receive+traverse stage: the OTLP receiver
+decodes protobuf batches and the signal traverser flattens the
+Resource->Scope->Leaf tree into per-record attribute views
+(connector/topologyconnector/internal/signal_traverser.go:133-211,
+internal/model.go:30-45). Here the "resource attributes" are the structured
+markers embedded in the page html, extracted by one Arrow-vectorized pandas
+UDF (the only Python in the hot path), and the hierarchy is already flat.
+
+Plan shape: scan -> project(host via JVM-side regexp) -> single pandas UDF
+(struct-returning, so one Python round-trip per batch, not five) ->
+unpack struct. Column pruning pushes the scan down to just the columns
+used downstream.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..functions.text import parse_html_batch
+
+PARSED_STRUCT = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("title", StringType()),
+        StructField("html_lang", StringType()),
+        StructField("service", StringType()),
+        StructField("cluster", StringType()),
+        StructField("namespace", StringType()),
+    ]
+)
+
+
+@F.pandas_udf(PARSED_STRUCT)
+def _parse_html_udf(html: pd.Series) -> pd.DataFrame:
+    return parse_html_batch(html)
+
+
+def parse_pages(webtext: DataFrame, keep_html: bool = False) -> DataFrame:
+    """webtext -> page records with extracted_text + attribute columns.
+
+    host/path are extracted JVM-side (regexp_extract, whole-stage codegen);
+    only the html-payload extraction crosses into Python, Arrow-batched.
+    """
+    df = webtext.withColumn("_p", _parse_html_udf(F.col("html")))
+    cols = [
+        F.col("url"),
+        F.col("warc_ts"),
+        F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host"),
+        F.regexp_extract("url", r"https?://[^/]+(/.*)$", 1).alias("path"),
+        F.col("_p.text").alias("extracted_text"),
+        F.col("_p.title").alias("title"),
+        F.col("_p.html_lang").alias("html_lang"),
+        F.col("_p.service").alias("service"),
+        F.col("_p.cluster").alias("cluster"),
+        F.col("_p.namespace").alias("namespace"),
+        F.col("lang"),
+        F.col("text").alias("expected_text"),
+    ]
+    if keep_html:
+        cols.append(F.col("html"))
+    return df.select(*cols)
