@@ -1,0 +1,431 @@
+"""The mapping engine: config -> compiled Catalyst plan.
+
+Reimplements the reference's topology connector mapping pipeline
+(connector/topologyconnector/internal/{mapping_handler,mapping,eval,
+expression}.go) Spark-first:
+
+- Each mapping becomes ONE filtered projection branch:
+  ``df.where(condition).select(outputs)``; the per-record interpreted CEL
+  walk (mapping_handler.go:43-99) disappears into whole-stage codegen.
+- Variables (eval.go:60-88) become withColumn common subexpressions.
+- Condition-eval-error => condition false (mapping_handler.go:124-145):
+  ANSI-off null-on-error + ``where`` treating null as false.
+- Required output fields failing => per-record error rows (the reference
+  collects per-field errors, mapping.go:348-359); optional fields failing
+  => silently skipped (null dropped from identifiers array).
+- Invalid mapping configs (unresolvable/ mistyped expressions, e.g. a map
+  where a string is required — expression.go:409-439) are caught at PLAN
+  time and surface as mapping-level error records with zero output rows,
+  mirroring e2e test/e2e/logtopology_test.go:118-141.
+- pick()/omit() custom CEL functions (internal/cel_functions.go:35-101)
+  are registered as SQL scalar functions over map columns.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import MapType, StringType
+
+from ..config import (
+    ACTION_CREATE,
+    ACTION_DELETE,
+    ComponentMapping,
+    MappingSet,
+    RelationMapping,
+    TagMapping,
+)
+
+# ---------------------------------------------------------------------------
+# Expression language helpers
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Register pick/omit (cel_functions.go:35-101) as SQL scalar functions.
+
+    These stay JVM-side (map_filter under the hood) — no Python UDF.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pick(m MAP<STRING,STRING>, ks ARRAY<STRING>) "
+        "RETURNS MAP<STRING,STRING> RETURN map_filter(m, (k, v) -> array_contains(ks, k))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION omit(m MAP<STRING,STRING>, ks ARRAY<STRING>) "
+        "RETURNS MAP<STRING,STRING> RETURN map_filter(m, (k, v) -> NOT array_contains(ks, k))"
+    )
+
+
+_VARS_REF = re.compile(r"\bvars\.([A-Za-z_][A-Za-z0-9_]*)")
+
+
+def rewrite_vars(expr: str) -> str:
+    """``vars.name`` -> ``var_name`` (the materialized variable column)."""
+    return _VARS_REF.sub(r"var_\1", expr)
+
+
+_IDENT = re.compile(r"\b[A-Za-z_][A-Za-z0-9_]*\b")
+
+
+def referenced_columns(exprs: list[str], columns: list[str]) -> list[str]:
+    """Plan-time analog of the reference's expression-AST reference walk
+    (expression_ref_manager.go:299-359): which INPUT columns do this
+    mapping's expressions read? Drives the projection-hash dedup key (D1/D2)
+    so the dedup key cost is proportional to referenced columns only.
+    """
+    colset = set(columns)
+    seen: set[str] = set()
+    for e in exprs:
+        for tok in _IDENT.findall(rewrite_vars(e)):
+            if tok in colset:
+                seen.add(tok)
+    return sorted(seen)
+
+
+def _mapping_exprs(m) -> list[str]:
+    """All expression strings of a mapping (for reference extraction)."""
+    out = [m.condition or ""] + [e for _, e in m.vars]
+    o = m.output
+    if isinstance(m, ComponentMapping):
+        out += [o.identifier, o.name, o.type_name, *o.additional_identifiers]
+        out += [o.configuration or "", o.status or "", o.layer or "", o.domain or ""]
+        for t in o.tags:
+            out.append(t.source)
+    else:
+        out += [o.source_id, o.target_id, o.type_name]
+    # vars expressions themselves may be referenced transitively; include raw
+    return [e for e in out if e]
+
+
+# ---------------------------------------------------------------------------
+# Output schemas (fixed envelope — spec/topo_stream.proto:9-47, :56-80)
+
+COMPONENT_COLS = [
+    "external_id",
+    "identifiers",
+    "name",
+    "type_name",
+    "layer",
+    "domain",
+    "tags",
+    "configuration",
+    "status",
+    "data_source",
+    "signal",
+]
+
+RELATION_COLS = [
+    "external_id",
+    "source_identifier",
+    "target_identifier",
+    "type_name",
+    "dependency_type",
+    "data_source",
+    "signal",
+]
+
+DELETE_COLS = ["external_id", "data_source", "signal"]
+
+ERROR_COLS = ["data_source", "signal", "error"]
+
+
+@dataclass
+class CompiledMappings:
+    """Result of compiling a MappingSet against an input DataFrame."""
+
+    components: DataFrame | None = None
+    relations: DataFrame | None = None
+    deletes: DataFrame | None = None
+    record_errors: DataFrame | None = None
+    errors: list[dict] = field(default_factory=list)  # mapping-level (plan-time) errors
+    # data_source -> input columns its expressions reference (for dedup keys)
+    refs: dict[str, list[str]] = field(default_factory=dict)
+
+
+def _empty(spark: SparkSession, kind: str) -> DataFrame:
+    schemas = {
+        "components": (
+            "external_id string, identifiers array<string>, name string, "
+            "type_name string, layer string, domain string, "
+            "tags map<string,string>, configuration map<string,string>, "
+            "status map<string,string>, data_source string, signal string"
+        ),
+        "relations": (
+            "external_id string, source_identifier string, target_identifier string, "
+            "type_name string, dependency_type string, data_source string, signal string"
+        ),
+        "deletes": "external_id string, data_source string, signal string",
+        "record_errors": "data_source string, signal string, error string",
+    }
+    return spark.createDataFrame([], schemas[kind])
+
+
+# ---------------------------------------------------------------------------
+# Compilation
+
+
+def _apply_vars(df: DataFrame, m) -> DataFrame:
+    for name, e in m.vars:
+        df = df.withColumn(f"var_{name}", F.expr(rewrite_vars(e)))
+    return df
+
+
+def _branch(df: DataFrame, m) -> DataFrame:
+    """condition + vars: the per-level conditional cascade collapses to one
+    conjunction since the input is already flat (mapping_handler.go:43-99)."""
+    out = _apply_vars(df, m)
+    if m.condition:
+        out = out.where(F.expr(rewrite_vars(m.condition)))
+    return out
+
+
+def _tags_col(tags: tuple[TagMapping, ...]):
+    """Tag projections (P9/P10, mapping.go:167-245).
+
+    Regex-derived maps first, explicit keys last — with LAST_WIN dedup the
+    explicit keys override, matching mapping.go:236-243.
+    """
+    if not tags:
+        return F.lit(None).cast(MapType(StringType(), StringType()))
+    parts = []
+    direct_kv = []
+    for t in tags:
+        if t.pattern is None:
+            direct_kv.append((t.target, t.source))
+        else:
+            src = F.expr(rewrite_vars(t.source))
+            # template ${N} -> $N (mapping.go:17 placeholder regex)
+            target = re.sub(r"\$\{(\d+)\}", r"$\1", t.target)
+            matched = F.map_filter(src, lambda k, v: k.rlike(t.pattern))
+            rekeyed = F.transform_keys(
+                matched, lambda k, v: F.regexp_replace(k, t.pattern, target)
+            )
+            parts.append(rekeyed)
+    if direct_kv:
+        kv = []
+        for target, source in direct_kv:
+            kv.append(F.lit(target))
+            kv.append(F.expr(rewrite_vars(source)).cast("string"))
+        parts.append(F.create_map(*kv))
+    if len(parts) == 1:
+        return parts[0]
+    return F.map_concat(*parts)
+
+
+def _validate(df: DataFrame, m, exprs_and_kinds: list[tuple[str, str]]) -> str | None:
+    """Plan-time expression validation (expression.go:367-439 analog).
+
+    Returns an error message for an invalid mapping, else None.
+    kind 'string': str/int/double/bool ok (stringified), map is an error.
+    kind 'map': must resolve to a map.
+    kind 'bool': anything coercible; left to where().
+    """
+    probe = _apply_vars(df, m)
+    for e, kind in exprs_and_kinds:
+        if not e:
+            continue
+        try:
+            dt = probe.select(F.expr(rewrite_vars(e)).alias("_x")).schema[0].dataType
+        except Exception as ex:  # AnalysisException / ParseException
+            return f"invalid expression {e!r}: {type(ex).__name__}: {ex}"
+        if kind == "string" and isinstance(dt, MapType):
+            return (
+                f"expression {e!r} evaluates to a map where a string is required"
+            )
+        if kind == "map" and not isinstance(dt, MapType):
+            return f"expression {e!r} must evaluate to a map, got {dt.simpleString()}"
+    return None
+
+
+def compile_component_mapping(
+    df: DataFrame, m: ComponentMapping
+) -> tuple[DataFrame | None, DataFrame | None, str | None]:
+    """Compile one component mapping.
+
+    Returns (components, record_errors, mapping_error).
+    """
+    o = m.output
+    checks = [
+        (m.condition or "", "bool"),
+        (o.identifier, "string"),
+        (o.name, "string"),
+        (o.type_name, "string"),
+        (o.configuration or "", "map"),
+        (o.status or "", "map"),
+    ]
+    err = _validate(df, m, checks)
+    if err is not None:
+        return None, None, err
+
+    branch = _branch(df, m)
+
+    if m.action == ACTION_DELETE:
+        deletes = branch.select(
+            F.expr(rewrite_vars(o.identifier)).cast("string").alias("external_id"),
+            F.lit(m.identifier).alias("data_source"),
+            F.lit(m.signal).alias("signal"),
+        ).where(F.col("external_id").isNotNull())
+        return deletes, None, None
+
+    ident = F.expr(rewrite_vars(o.identifier)).cast("string")
+    addl = [F.expr(rewrite_vars(a)).cast("string") for a in o.additional_identifiers]
+    # optional additional identifiers: eval error => null => compacted away
+    identifiers = F.array_compact(F.array(ident, *addl)) if addl else F.array(ident)
+
+    def _opt_str(e):
+        return (
+            F.expr(rewrite_vars(e)).cast("string")
+            if e
+            else F.lit(None).cast("string")
+        )
+
+    def _opt_map(e):
+        return (
+            F.expr(rewrite_vars(e))
+            if e
+            else F.lit(None).cast(MapType(StringType(), StringType()))
+        )
+
+    projected = branch.select(
+        ident.alias("external_id"),
+        identifiers.alias("identifiers"),
+        F.expr(rewrite_vars(o.name)).cast("string").alias("name"),
+        F.expr(rewrite_vars(o.type_name)).cast("string").alias("type_name"),
+        _opt_str(o.layer).alias("layer"),
+        _opt_str(o.domain).alias("domain"),
+        _tags_col(o.tags).alias("tags"),
+        _opt_map(o.configuration).alias("configuration"),
+        _opt_map(o.status).alias("status"),
+        F.lit(m.identifier).alias("data_source"),
+        F.lit(m.signal).alias("signal"),
+    )
+    # Required fields: identifier/name/typeName null => record-level error row
+    required_ok = (
+        F.col("external_id").isNotNull()
+        & F.col("name").isNotNull()
+        & F.col("type_name").isNotNull()
+    )
+    comps = projected.where(required_ok)
+    rec_errors = projected.where(~required_ok).select(
+        F.col("data_source"),
+        F.col("signal"),
+        F.lit("required output expression evaluated to null").alias("error"),
+    )
+    return comps, rec_errors, None
+
+
+def compile_relation_mapping(
+    df: DataFrame, m: RelationMapping
+) -> tuple[DataFrame | None, DataFrame | None, str | None]:
+    o = m.output
+    checks = [
+        (m.condition or "", "bool"),
+        (o.source_id, "string"),
+        (o.target_id, "string"),
+        (o.type_name, "string"),
+    ]
+    err = _validate(df, m, checks)
+    if err is not None:
+        return None, None, err
+
+    branch = _branch(df, m)
+    src = F.expr(rewrite_vars(o.source_id)).cast("string")
+    tgt = F.expr(rewrite_vars(o.target_id)).cast("string")
+
+    if m.action == ACTION_DELETE:
+        deletes = branch.select(
+            F.concat_ws("-", src, tgt).alias("external_id"),
+            F.lit(m.identifier).alias("data_source"),
+            F.lit(m.signal).alias("signal"),
+        ).where(src.isNotNull() & tgt.isNotNull())
+        return deletes, None, None
+
+    # dependencyType normalization (mapping.go:280-292)
+    dep = F.upper(F.trim(F.lit(o.dependency_type)))
+    dep_norm = (
+        F.when(dep == "HIERARCHICAL", "HIERARCHICAL")
+        .when(dep == "CONNECTION", "CONNECTION")
+        .otherwise("UNSPECIFIED")
+    )
+    projected = branch.select(
+        F.concat_ws("-", src, tgt).alias("external_id"),  # mapping.go:249-292
+        src.alias("source_identifier"),
+        tgt.alias("target_identifier"),
+        F.expr(rewrite_vars(o.type_name)).cast("string").alias("type_name"),
+        dep_norm.alias("dependency_type"),
+        F.lit(m.identifier).alias("data_source"),
+        F.lit(m.signal).alias("signal"),
+    )
+    required_ok = (
+        F.col("source_identifier").isNotNull()
+        & F.col("target_identifier").isNotNull()
+        & F.col("type_name").isNotNull()
+    )
+    rels = projected.where(required_ok)
+    rec_errors = projected.where(~required_ok).select(
+        F.col("data_source"),
+        F.col("signal"),
+        F.lit("required output expression evaluated to null").alias("error"),
+    )
+    return rels, rec_errors, None
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame | None:
+    dfs = [d for d in dfs if d is not None]
+    if not dfs:
+        return None
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def apply_mappings(df: DataFrame, mappings: MappingSet, signal: str = "logs") -> CompiledMappings:
+    """Compile + apply all mappings of a signal: union of filtered
+    projections — the Spark equivalent of the per-mapping full re-traversal
+    loop (internal/pipeline.go:128-144), except traversal cost is shared:
+    one scan feeds every branch.
+    """
+    spark = df.sparkSession
+    ms = mappings.for_signal(signal)
+    result = CompiledMappings()
+    comp_parts, rel_parts, del_parts, err_parts = [], [], [], []
+
+    for m in ms.components:
+        out, rec_err, map_err = compile_component_mapping(df, m)
+        if map_err is not None:
+            result.errors.append(
+                {"data_source": m.identifier, "signal": signal, "error": map_err}
+            )
+            continue
+        result.refs[m.identifier] = referenced_columns(_mapping_exprs(m), df.columns)
+        if m.action == ACTION_DELETE:
+            del_parts.append(out)
+        else:
+            comp_parts.append(out)
+            err_parts.append(rec_err)
+
+    for m in ms.relations:
+        out, rec_err, map_err = compile_relation_mapping(df, m)
+        if map_err is not None:
+            result.errors.append(
+                {"data_source": m.identifier, "signal": signal, "error": map_err}
+            )
+            continue
+        result.refs[m.identifier] = referenced_columns(_mapping_exprs(m), df.columns)
+        if m.action == ACTION_DELETE:
+            del_parts.append(out)
+        else:
+            rel_parts.append(out)
+            err_parts.append(rec_err)
+
+    result.components = _union_all(comp_parts) or _empty(spark, "components")
+    result.relations = _union_all(rel_parts) or _empty(spark, "relations")
+    result.deletes = _union_all(del_parts) or _empty(spark, "deletes")
+    rec_errors = _union_all(err_parts)
+    result.record_errors = (
+        rec_errors if rec_errors is not None else _empty(spark, "record_errors")
+    )
+    return result

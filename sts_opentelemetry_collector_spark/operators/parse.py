@@ -64,3 +64,16 @@ def parse_pages(webtext: DataFrame, keep_html: bool = False) -> DataFrame:
     if keep_html:
         cols.append(F.col("html"))
     return df.select(*cols)
+
+
+def with_attrs(parsed: DataFrame) -> DataFrame:
+    """Add the open-keyed `attrs` map the mapping engine evaluates against —
+    the analog of the reference's per-record attribute views
+    (internal/model.go:30-45). Values stringified, null-valued keys kept out
+    (map semantics: absent key == null lookup)."""
+    pairs = []
+    for c in ["host", "path", "title", "service", "cluster", "namespace", "lang"]:
+        pairs.append(F.lit(c))
+        pairs.append(F.col(c).cast("string"))
+    attrs = F.map_filter(F.create_map(*pairs), lambda k, v: v.isNotNull())
+    return parsed.withColumn("attrs", attrs)

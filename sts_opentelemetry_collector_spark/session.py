@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Mapping-engine semantics: expression eval errors mean "condition
+        # false / field skipped", not job failure — mirrors the reference's
+        # eval-error handling (mapping_handler.go:124-145). ANSI-off gives
+        # null-on-error; LAST_WIN lets explicit tag keys override
+        # regex-derived ones (mapping.go:182-245).
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,151 @@
+"""Mapping-engine golden tests — mirrors the reference's e2e assertions
+(test/e2e/logtopology_test.go:353-412: exact external IDs, names,
+configuration/status contents; :118-141: invalid mapping -> error rows,
+zero components; :195-211: delete flow)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from sts_opentelemetry_collector_spark.config import (
+    ComponentMapping,
+    ComponentOutput,
+    MappingSet,
+)
+from sts_opentelemetry_collector_spark.operators.mapping import (
+    apply_mappings,
+    referenced_columns,
+    register_sql_functions,
+    rewrite_vars,
+)
+from sts_opentelemetry_collector_spark.operators.parse import parse_pages, with_attrs
+from sts_opentelemetry_collector_spark.sources.settings import (
+    default_mappings,
+    diff_settings,
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark, webtext):
+    register_sql_functions(spark)
+    return with_attrs(parse_pages(webtext)).cache()
+
+
+@pytest.fixture(scope="module")
+def compiled(pages):
+    return apply_mappings(pages, default_mappings(), signal="logs")
+
+
+def test_component_golden(compiled, pages):
+    comps = compiled.components.where(F.col("data_source") == "page-service")
+    row = comps.orderBy("external_id").first()
+    assert row.external_id.startswith("urn:webtext:cluster/production:service/svc-")
+    assert row.type_name == "service"
+    assert row.name.startswith("svc-")
+    assert row.external_id.endswith(row.name)
+    # identifiers: primary + additional
+    assert row.identifiers[0] == row.external_id
+    assert row.identifiers[1] == f"urn:webtext:service/{row.name}"
+    # pick/omit: configuration must NOT contain namespace, status must
+    assert "namespace" not in row.configuration
+    assert "cluster" in row.configuration
+    assert set(row.status.keys()) == {"namespace"}
+    # tags: direct + regex-rekeyed
+    assert row.tags["language"] in ("en", "de", "nl", "fr", "es", "it")
+    assert row.tags["k8s.cluster"] == "production"
+    assert row.tags["k8s.namespace"] == row.status["namespace"]
+    # condition: only production-cluster pages produce service components
+    n_prod = pages.where("attrs['cluster'] = 'production'").count()
+    assert comps.count() == n_prod
+
+
+def test_relation_golden(compiled, pages):
+    rels = compiled.relations
+    row = rels.orderBy("external_id").first()
+    assert row.dependency_type == "CONNECTION"
+    assert row.type_name == "hosted on"
+    assert row.external_id == f"{row.source_identifier}-{row.target_identifier}"
+    assert row.source_identifier.startswith("urn:webtext:cluster/production:service/")
+    assert row.target_identifier.startswith("urn:webtext:host/")
+    n_prod = pages.where("attrs['cluster'] = 'production'").count()
+    assert rels.count() == n_prod
+
+
+def test_delete_branch(compiled, pages):
+    dels = compiled.deletes
+    expected = pages.where(
+        "path LIKE '/archive/%' AND attrs['cluster'] = 'dev'"
+    ).count()
+    assert dels.count() == expected
+    if expected:
+        assert dels.first().external_id.startswith("urn:webtext:host/")
+
+
+def test_invalid_mapping_is_plan_time_error(pages):
+    bad = MappingSet(
+        components=[
+            ComponentMapping(
+                identifier="bad-map-as-string",
+                output=ComponentOutput(
+                    identifier="attrs",  # map where string required
+                    name="'x'",
+                    type_name="'y'",
+                ),
+            ),
+            ComponentMapping(
+                identifier="bad-unresolved",
+                output=ComponentOutput(
+                    identifier="no_such_column",
+                    name="'x'",
+                    type_name="'y'",
+                ),
+            ),
+        ]
+    )
+    out = apply_mappings(pages, bad)
+    assert out.components.count() == 0
+    assert len(out.errors) == 2
+    assert "map" in out.errors[0]["error"]
+    assert out.errors[1]["data_source"] == "bad-unresolved"
+
+
+def test_condition_eval_error_is_false(pages):
+    # cast failure under ANSI-off -> null -> condition false, not job failure
+    # (mapping_handler.go:124-145 semantics)
+    ms = MappingSet(
+        components=[
+            ComponentMapping(
+                identifier="cond-err",
+                condition="cast(title as int) > 5",  # titles are non-numeric
+                output=ComponentOutput(
+                    identifier="concat('urn:x/', host)", name="host", type_name="'t'"
+                ),
+            )
+        ]
+    )
+    out = apply_mappings(pages, ms)
+    assert out.components.count() == 0
+    assert len(out.errors) == 0
+
+
+def test_referenced_columns():
+    cols = ["host", "path", "attrs", "lang", "service"]
+    refs = referenced_columns(
+        ["attrs['cluster'] = 'production'", "concat('urn/', vars.x)", "host"], cols
+    )
+    assert refs == ["attrs", "host"]
+    assert rewrite_vars("concat(vars.a, vars.b)") == "concat(var_a, var_b)"
+
+
+def test_diff_settings():
+    cur = default_mappings()
+    prev = default_mappings()
+    prev.components.append(
+        ComponentMapping(
+            identifier="removed-mapping",
+            output=ComponentOutput(identifier="'x'", name="'x'", type_name="'x'"),
+        )
+    )
+    assert diff_settings(prev, cur) == ["removed-mapping"]
+    assert diff_settings(cur, cur) == []
