@@ -1,0 +1,196 @@
+"""Aggregations (SURVEY.md §2.4 A1-A11).
+
+All built-in groupBy/window aggregations — partial (map-side) aggregation,
+whole-stage codegen, and AQE-coalesced shuffles come free. The reference's
+eviction-compensated statistical counting (A2, connector.go:387-422) is
+deliberately NOT reproduced: a shuffle join sees every row, so our counts
+are exact (documented deviation, SURVEY.md A2).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+# Default service-graph latency bounds: 16 buckets 2ms..15s
+# (stsservicegraphconnector/connector.go:41-44), seconds.
+DEFAULT_LATENCY_BOUNDS = [
+    0.002, 0.004, 0.006, 0.008, 0.01, 0.05, 0.1, 0.2, 0.4, 0.8, 1.0, 1.4,
+    2.0, 5.0, 10.0, 15.0,
+]
+
+
+def edge_metrics(
+    edges: DataFrame, dims: list[str], failed_col: str = "failed", weight_col: str | None = None
+) -> DataFrame:
+    """A1: per-dimension request counters (connector.go:387-455).
+
+    req_total / req_failed_total per metric key (the reference NUL-joins the
+    dims into a string key, connector.go:621-643; groupBy on the columns is
+    the columnar equivalent)."""
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    return edges.groupBy(*dims).agg(
+        F.sum(w).alias("req_total"),
+        F.sum(F.when(F.col(failed_col), w).otherwise(F.lit(0))).alias("req_failed_total"),
+    )
+
+
+def bucket_index_expr(value_col: str, bounds: list[float]) -> F.Column:
+    """A3: explicit-bucket index — the reference binary-searches the bounds
+    (connector.go:456-479); `width_bucket` on a sorted bounds array is the
+    vectorized equivalent. Index i means value <= bounds[i], len(bounds)
+    means overflow (the +Inf bucket)."""
+    expr = F.lit(len(bounds))
+    for i in range(len(bounds) - 1, -1, -1):
+        expr = F.when(F.col(value_col) <= F.lit(bounds[i]), F.lit(i)).otherwise(expr)
+    return expr
+
+
+def latency_histogram(
+    edges: DataFrame,
+    dims: list[str],
+    latency_col: str,
+    bounds: list[float] | None = None,
+) -> DataFrame:
+    """A3: per-dim explicit-bucket histogram: sum, count, bucket_counts[].
+
+    Two-phase: bucket index (codegen'd when-cascade) -> groupBy (dims,
+    bucket) count -> pivot into a dense bucket_counts array per dims. One
+    shuffle; array assembly via map_from_entries + lookup keeps it JVM-side.
+    """
+    bounds = bounds or DEFAULT_LATENCY_BOUNDS
+    n_buckets = len(bounds) + 1
+    bucketed = edges.withColumn("_bucket", bucket_index_expr(latency_col, bounds))
+    per_bucket = bucketed.groupBy(*dims, "_bucket").agg(
+        F.count(F.lit(1)).alias("_bucket_count"),
+        F.sum(latency_col).alias("_bucket_sum"),
+    )
+    assembled = per_bucket.groupBy(*dims).agg(
+        F.sum("_bucket_count").alias("count"),
+        F.round(F.sum("_bucket_sum"), 9).alias("sum"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_bucket"), F.col("_bucket_count")))
+        ).alias("_m"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("int")), F.lit(0)),
+    )
+    return assembled.withColumn("bucket_counts", dense).drop("_m")
+
+
+def windowed_rollup(
+    df: DataFrame,
+    ts_col: str = "warc_ts",
+    keys: list[str] | None = None,
+    window: str = "1 hour",
+    salt_skew: bool = False,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Tumbling-window telemetry rollup keyed (host, warc_ts bucket) — the
+    north rule's windowed rollup (≙ service-graph periodic flush A4 +
+    internal telemetry). Hosts are Zipf-skewed, so optionally salt: partial
+    aggregate on (keys, window, salt) then re-aggregate — a two-level
+    combine that bounds any single reducer's key volume at 100 TB.
+    """
+    keys = keys or ["host"]
+    win = F.window(F.col(ts_col), window)
+    if not salt_skew:
+        return (
+            df.groupBy(*keys, win.alias("win"))
+            .agg(F.count(F.lit(1)).alias("page_count"))
+            .select(
+                *keys,
+                F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "page_count",
+            )
+        )
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets)))
+    partial = salted.groupBy(*keys, win.alias("win"), F.col("_salt")).agg(
+        F.count(F.lit(1)).alias("_partial")
+    )
+    return (
+        partial.groupBy(*keys, "win")
+        .agg(F.sum("_partial").alias("page_count"))
+        .select(
+            *keys,
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "page_count",
+        )
+    )
+
+
+def coalesce_envelopes(
+    elements: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    payload_col: str,
+    max_envelope_bytes: int = 768 * 1024,
+) -> DataFrame:
+    """A6: group single elements into bounded envelopes.
+
+    Reference groups by (owner, dataSource, shardId, collection_ts), caps
+    the marshaled envelope at 768KiB and opens a new one on overflow,
+    preserving first-seen order (message_builder.go:194-257, :162-171).
+
+    Spark shape: a running byte total per group (window cumulative sum of
+    octet_length) integer-divided by the cap yields the envelope ordinal —
+    exact size-capped splitting without per-row state."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*key_cols, ts_col)
+        .orderBy(payload_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = elements.withColumn("_bytes", F.octet_length(F.col(payload_col).cast("string")))
+    enveloped = sized.withColumn(
+        "envelope_id",
+        ((F.sum("_bytes").over(w) - F.col("_bytes")) / F.lit(max_envelope_bytes)).cast("long"),
+    )
+    return (
+        enveloped.groupBy(*key_cols, ts_col, "envelope_id")
+        .agg(
+            F.collect_list(F.col(payload_col)).alias("payload_list"),
+            F.sum("_bytes").alias("envelope_bytes"),
+            F.count(F.lit(1)).alias("element_count"),
+        )
+    )
+
+
+def usage_bytes(df: DataFrame, cols: list[str], group_by: list[str] | None = None) -> DataFrame:
+    """A10/P15: serialized-byte usage counter (stsusage_processor.go:22-38)."""
+    total = None
+    for c in cols:
+        b = F.coalesce(F.octet_length(F.col(c).cast("string")), F.lit(0))
+        total = b if total is None else total + b
+    g = df.groupBy(*group_by) if group_by else df.groupBy()
+    return g.agg(F.sum(total).alias("usage_bytes"), F.count(F.lit(1)).alias("record_count"))
+
+
+def per_sink_counts(routed: dict[str, DataFrame]) -> dict[str, int]:
+    """Per-sink routed-row counts — the north rule's count-equality check."""
+    return {name: df.count() for name, df in routed.items()}
+
+
+def telemetry_counters(
+    spark: SparkSession,
+    run_id: str,
+    produced: dict[str, int],
+    mapping_errors: int,
+    mappings_removed: int,
+) -> DataFrame:
+    """A11: internal telemetry counters table (metrics/metrics.go:58-97):
+    topology_produced_total / mapping_errors_total / mappings_removed_total,
+    labeled by stream."""
+    rows = [
+        (run_id, "topology_produced_total", k, int(v)) for k, v in produced.items()
+    ] + [
+        (run_id, "mapping_errors_total", "", int(mapping_errors)),
+        (run_id, "mappings_removed_total", "", int(mappings_removed)),
+    ]
+    return spark.createDataFrame(
+        rows, "run_id string, metric string, label string, value long"
+    )

@@ -1,0 +1,147 @@
+"""Routing (R1-R6) and dedup (D1-D5) tests — FNV parity pins from
+message_builder.go:259-263 semantics; dedup invariance mirrors
+deduplicator_test.go:17-245."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sts_opentelemetry_collector_spark.functions.hashes import (
+    fnv1a32_batch,
+    fnv1a32_py,
+)
+from sts_opentelemetry_collector_spark.operators.dedup import (
+    dedup_elements,
+    dedup_within_refresh_window,
+    projection_hash,
+    resource_ref,
+)
+from sts_opentelemetry_collector_spark.operators.routing import (
+    SHARD_COUNT,
+    keyed_repartition,
+    new_streams,
+    removal_tombstones,
+    route_fanout,
+    with_shard_id,
+)
+
+import pandas as pd
+
+
+def test_fnv1a32_golden_pins():
+    # Known FNV-1a 32-bit test vectors
+    assert fnv1a32_py("") == 0x811C9DC5
+    assert fnv1a32_py("a") == 0xE40C292C
+    assert fnv1a32_py("foobar") == 0xBF9CF968
+
+
+def test_fnv1a32_vectorized_matches_scalar():
+    vals = ["", "a", "foobar", "urn:webtext:host/site000.example.org",
+            "unicode-ü-✓", "x" * 300]
+    got = fnv1a32_batch(pd.Series(vals)).tolist()
+    assert got == [fnv1a32_py(v) for v in vals]
+
+
+def test_shard_assignment(spark):
+    ids = ["urn:a", "urn:b", "urn:c", None]
+    df = spark.createDataFrame([(i,) for i in ids], "external_id string")
+    rows = {r.external_id: r.shard_id for r in with_shard_id(df).collect()}
+    for i in ids[:3]:
+        assert rows[i] == fnv1a32_py(i) % SHARD_COUNT
+    assert rows[None] == -1
+
+
+def test_route_fanout_multi_subscription(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id long, kind string"
+    ).cache()
+    routes = {"all": "true", "a_only": "kind = 'a'"}
+    routed = route_fanout(df, routes)
+    assert routed["all"].count() == 3
+    assert routed["a_only"].count() == 2
+
+
+def test_removal_tombstones(spark):
+    t = removal_tombstones(spark, ["m1", "m2"])
+    assert t.count() == 2 * SHARD_COUNT
+    per = t.groupBy("data_source").count().collect()
+    assert all(r["count"] == SHARD_COUNT for r in per)
+    assert removal_tombstones(spark, []).count() == 0
+
+
+def test_new_streams_anti_join(spark):
+    cur = spark.createDataFrame(
+        [("m1", 0), ("m1", 1), ("m2", 0)], "data_source string, shard_id int"
+    )
+    known = spark.createDataFrame([("m1", 0)], "data_source string, shard_id int")
+    fresh = new_streams(cur, known)
+    assert sorted((r.data_source, r.shard_id) for r in fresh.collect()) == [
+        ("m1", 1),
+        ("m2", 0),
+    ]
+
+
+def test_projection_hash_attr_order_invariance(spark):
+    # deduplicator_test.go: attribute-map insertion order must not change
+    # the key; referenced-column selection must (mapping isolation).
+    df1 = spark.createDataFrame(
+        [("u1", {"a": "1", "b": "2"}, "x")], "url string, attrs map<string,string>, other string"
+    )
+    df2 = spark.createDataFrame(
+        [("u1", {"b": "2", "a": "1"}, "DIFFERENT")],
+        "url string, attrs map<string,string>, other string",
+    )
+    h1 = projection_hash(df1, "m", "logs", ["url", "attrs"]).first().dedup_key
+    h2 = projection_hash(df2, "m", "logs", ["url", "attrs"]).first().dedup_key
+    assert h1 == h2  # 'other' not referenced; map order irrelevant
+    h3 = projection_hash(df1, "m2", "logs", ["url", "attrs"]).first().dedup_key
+    assert h3 != h1  # mapping isolation
+
+
+def test_dedup_refresh_window(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        ("k", t0),
+        ("k", t0 + dt.timedelta(seconds=10)),  # same window: suppressed
+        ("k", t0 + dt.timedelta(seconds=500)),  # next 450s window: resent
+        ("j", t0),
+    ]
+    df = spark.createDataFrame(rows, "key string, warc_ts timestamp")
+    out = dedup_within_refresh_window(df, ["key"], ttl_seconds=900, refresh_fraction=0.5)
+    assert out.count() == 3
+
+
+def test_dedup_elements_idempotent(spark):
+    df = spark.createDataFrame(
+        [("m", "logs", "urn:x"), ("m", "logs", "urn:x"), ("m", "logs", "urn:y")],
+        "data_source string, signal string, external_id string",
+    )
+    once = dedup_elements(df)
+    assert once.count() == 2
+    # re-send of an identical batch yields no growth (e2e dedup suppression)
+    assert dedup_elements(df.unionAll(df)).count() == 2
+
+
+def test_resource_ref_content_addressed(spark):
+    df = spark.createDataFrame(
+        [({"a": "1"},), ({"a": "1"},), ({"a": "2"},)], "attrs map<string,string>"
+    )
+    out = resource_ref(df)
+    assert out.select("resource_ref").distinct().count() == 2
+
+
+def test_keyed_repartition_colocates(spark):
+    df = spark.createDataFrame(
+        [("m1", 0, i) for i in range(50)] + [("m2", 1, i) for i in range(50)],
+        "data_source string, shard_id int, v long",
+    )
+    parts = (
+        keyed_repartition(df, 8)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("data_source", "shard_id")
+        .agg(F.countDistinct("pid").alias("npid"))
+        .collect()
+    )
+    assert all(r.npid == 1 for r in parts)
