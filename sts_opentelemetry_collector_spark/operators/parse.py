@@ -40,11 +40,15 @@ def _parse_html_udf(html: pd.Series) -> pd.DataFrame:
     return parse_html_batch(html)
 
 
-def parse_pages(webtext: DataFrame, keep_html: bool = False) -> DataFrame:
+def parse_pages(
+    webtext: DataFrame, keep_html: bool = False, keep_extra: list[str] | None = None
+) -> DataFrame:
     """webtext -> page records with extracted_text + attribute columns.
 
     host/path are extracted JVM-side (regexp_extract, whole-stage codegen);
     only the html-payload extraction crosses into Python, Arrow-batched.
+    The ground-truth `text` column (present only in test fixtures) is kept
+    as expected_text when available.
     """
     df = webtext.withColumn("_p", _parse_html_udf(F.col("html")))
     cols = [
@@ -59,10 +63,13 @@ def parse_pages(webtext: DataFrame, keep_html: bool = False) -> DataFrame:
         F.col("_p.cluster").alias("cluster"),
         F.col("_p.namespace").alias("namespace"),
         F.col("lang"),
-        F.col("text").alias("expected_text"),
     ]
+    if "text" in webtext.columns:
+        cols.append(F.col("text").alias("expected_text"))
     if keep_html:
         cols.append(F.col("html"))
+    for c in keep_extra or []:
+        cols.append(F.col(c))
     return df.select(*cols)
 
 

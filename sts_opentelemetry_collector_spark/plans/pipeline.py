@@ -1,0 +1,183 @@
+"""The flagship end-to-end job: receive -> process -> route -> export.
+
+Mirrors the reference's signal-ingestion lifecycle (SURVEY.md §3.1) as one
+declarative Spark plan per run:
+
+    scan webtext (pruned cols)                      ≙ OTLP receive
+    -> lineage-partition filter (resume)            ≙ Kafka offsets
+    -> vectorized parse (pandas UDF)                ≙ protobuf decode+traverse
+    -> broadcast enrich (lang_map, host_topology)   ≙ settings/topology procs
+    -> compiled mapping branches (union)            ≙ CEL mapping engine
+    -> element dedup                                 ≙ deduplicator (D1-D3)
+    -> shard + keyed repartition                    ≙ FNV Kafka sharding (R1/R2)
+    -> fan-out sink writes                          ≙ exporters (K1-K6)
+    -> per-sink counts + windowed rollups           ≙ service-graph counters,
+                                                      internal telemetry (A1-A11)
+    -> manifest append                              ≙ resumability/lineage
+
+One run == one settings snapshot; tombstones for removed mappings are
+derived from the snapshot diff (R5) exactly like snapshot_manager.go:156-214.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import MappingSet
+from ..operators.aggregate import telemetry_counters, windowed_rollup
+from ..operators.dedup import dedup_elements
+from ..operators.enrich import enrich_pages
+from ..operators.mapping import apply_mappings, register_sql_functions
+from ..operators.parse import parse_pages, with_attrs
+from ..operators.routing import removal_tombstones, with_shard_id
+from ..sources.settings import default_mappings, diff_settings
+from ..sources.webtext import dims
+from .lineage import Manifest, new_run_id, partition_stats, with_lineage_partition
+from .sinks import SinkCatalog
+
+
+def run_pipeline(
+    spark: SparkSession,
+    webtext_path: str,
+    out_root: str,
+    mappings: MappingSet | None = None,
+    previous_mappings: MappingSet | None = None,
+    n_lineage_buckets: int = 32,
+    max_partitions_this_run: int | None = None,
+    rollup_window: str = "1 hour",
+) -> dict:
+    """Run (or resume) the pipeline. Returns a summary dict with per-sink
+    routed-row counts, telemetry, and timing."""
+    t_start = time.time()
+    register_sql_functions(spark)
+    mappings = mappings or default_mappings()
+    sinks = SinkCatalog(os.path.join(out_root, "sinks"))
+    manifest = Manifest(os.path.join(out_root, "manifest.parquet"))
+    run_id = new_run_id()
+
+    # ---- resume: which lineage partitions are still pending?
+    done = manifest.completed_partitions(spark)
+    pending = [p for p in range(n_lineage_buckets) if p not in done]
+    if max_partitions_this_run is not None:
+        pending = pending[:max_partitions_this_run]
+    if not pending:
+        return {"run_id": run_id, "pending": 0, "skipped": True}
+
+    raw = with_lineage_partition(spark.read.parquet(webtext_path), n_buckets=n_lineage_buckets)
+    if len(pending) < n_lineage_buckets:
+        raw = raw.where(F.col("lineage_partition").isin(pending))
+
+    # ---- parse + enrich (single pass, cached for the fan-out)
+    pages = with_attrs(parse_pages(raw.drop("text"), keep_extra=["lineage_partition"]))
+    lang_map, host_topology = dims(spark)
+    enriched = enrich_pages(pages, lang_map, host_topology).persist()
+
+    # ---- mapping engine
+    compiled = apply_mappings(enriched, mappings, signal="logs")
+
+    # ---- dedup + shard + route
+    components = with_shard_id(dedup_elements(compiled.components))
+    relations = with_shard_id(dedup_elements(compiled.relations))
+    deletes = with_shard_id(dedup_elements(compiled.deletes))
+
+    # Keyed write: partitioned by (data_source, shard_id) — the Kafka
+    # partition-ordering contract; files land pre-clustered per stream.
+    part_cols = ["data_source", "shard_id"]
+    sink_counts: dict[str, int] = {}
+
+    # Topology-element sinks are APPEND (at-least-once): a crashed run may
+    # re-deliver elements on resume — exactly the reference's Kafka acks
+    # semantics; downstream is a last-writer-wins upsert keyed external_id
+    # (ReplacingMergeTree / topology intake), so re-delivery is a refresh,
+    # not corruption.
+    def _write(df: DataFrame, name: str, partition_by=part_cols) -> None:
+        cnt = df.count()
+        sink_counts[name] = cnt
+        if cnt:
+            sinks.append(df, name, partition_by=partition_by)
+
+    _write(components, "topology_components")
+    _write(relations, "topology_relations")
+    _write(deletes, "topology_deletes")
+    _write(
+        compiled.record_errors.groupBy("data_source", "signal", "error").agg(
+            F.count(F.lit(1)).alias("error_count")
+        ),
+        "mapping_errors",
+        partition_by=None,
+    )
+
+    # ---- tombstones for removed mappings (R5)
+    removed = diff_settings(previous_mappings, mappings) if previous_mappings else []
+    tombs = removal_tombstones(spark, removed)
+    _write(tombs, "tombstones", partition_by=None)
+
+    # ---- logs sink: the full parsed record stream (≙ ClickHouse logs K2,
+    # PARTITION BY toDate(ts) — exporter_logs.go:155-159). Partitioned by
+    # (ds, lineage_partition) + dynamic overwrite => a rerun of a crashed
+    # run rewrites exactly its partitions: idempotent resume.
+    logs = enriched.select(
+        "url", "warc_ts", "host", "extracted_text", "lang", "lang_family",
+        "service", "cluster", "namespace", "lineage_partition",
+    )
+    sink_counts["otel_logs"] = logs.count()
+    sinks.overwrite(
+        logs.withColumn("ds", F.to_date("warc_ts")),
+        "otel_logs",
+        partition_by=["ds", "lineage_partition"],
+    )
+
+    # ---- windowed telemetry rollup (host, warc_ts bucket), salted for skew.
+    # Recomputed from the logs sink (all completed partitions), overwritten:
+    # always consistent with whatever subset has landed, so a resumed job
+    # converges to the full-run rollup. (At 100 TB: incremental MERGE
+    # keyed (host, window) instead of full recompute.)
+    all_logs = sinks.read(spark, "otel_logs")
+    rollup = windowed_rollup(all_logs, ts_col="warc_ts", keys=["host"],
+                             window=rollup_window, salt_skew=True)
+    sink_counts["rollup_host_window"] = rollup.count()
+    sinks.overwrite(rollup, "rollup_host_window", partition_by=None)
+
+    # ---- per-partition lineage + metrics
+    stats = partition_stats(enriched).collect()
+    manifest.record(
+        spark,
+        [
+            {
+                "run_id": run_id,
+                "lineage_partition": r.lineage_partition,
+                "input_split": webtext_path,
+                "row_count": r.row_count,
+                "parse_failures": r.parse_failures,
+            }
+            for r in stats
+        ],
+    )
+    telemetry = telemetry_counters(
+        spark,
+        run_id,
+        produced={k: v for k, v in sink_counts.items()},
+        mapping_errors=len(compiled.errors),
+        mappings_removed=len(removed),
+    )
+    sinks.append(telemetry, "telemetry", partition_by=None)
+
+    total_rows = sum(r.row_count for r in stats)
+    enriched.unpersist()
+    elapsed = time.time() - t_start
+    return {
+        "run_id": run_id,
+        "pending": len(pending),
+        "partitions_processed": len(stats),
+        "rows": total_rows,
+        "parse_failures": sum(r.parse_failures for r in stats),
+        "sink_counts": sink_counts,
+        "mapping_errors": [e["data_source"] for e in compiled.errors],
+        "removed_mappings": removed,
+        "elapsed_sec": elapsed,
+        "pages_per_sec": total_rows / elapsed if elapsed > 0 else None,
+    }

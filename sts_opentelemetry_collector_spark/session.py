@@ -51,6 +51,9 @@ def get_spark(
         # regex-derived ones (mapping.go:182-245).
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # Idempotent resume: reruns overwrite exactly the partitions they
+        # recompute (lineage.py), never the whole table.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,109 @@
+"""End-to-end pipeline tests: per-sink routed-row counts, rollup equality,
+lineage manifest, and kill/rerun resumability (BASELINE.md §B)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from sts_opentelemetry_collector_spark.plans.pipeline import run_pipeline
+from sts_opentelemetry_collector_spark.plans.sinks import SinkCatalog
+from sts_opentelemetry_collector_spark.sources.settings import default_mappings
+
+
+def _webtext_path(webtext_dir):
+    return os.path.join(webtext_dir, "webtext.parquet")
+
+
+def test_full_run_counts(spark, webtext_dir, tmp_path):
+    out = str(tmp_path / "full")
+    summary = run_pipeline(spark, _webtext_path(webtext_dir), out, n_lineage_buckets=8)
+    assert summary["rows"] == 2000
+    assert summary["parse_failures"] == 0
+    sc = summary["sink_counts"]
+    assert sc["otel_logs"] == 2000
+    assert sc["topology_components"] > 0
+    assert sc["topology_relations"] > 0
+    sinks = SinkCatalog(os.path.join(out, "sinks"))
+    # per-sink routed-row equality: what the summary claims is what landed
+    assert sinks.read(spark, "topology_components").count() == sc["topology_components"]
+    assert sinks.read(spark, "otel_logs").count() == 2000
+    # rollup mass equals total pages
+    rollup = sinks.read(spark, "rollup_host_window")
+    assert rollup.agg(F.sum("page_count")).first()[0] == 2000
+    # manifest: all 8 partitions recorded, row counts sum to total
+    manifest = spark.read.parquet(os.path.join(out, "manifest.parquet"))
+    assert manifest.count() == 8
+    assert manifest.agg(F.sum("row_count")).first()[0] == 2000
+    # telemetry counters landed
+    tel = sinks.read(spark, "telemetry")
+    assert tel.where("metric = 'topology_produced_total'").count() > 0
+
+
+def test_resume_converges_to_full_run(spark, webtext_dir, tmp_path):
+    out_full = str(tmp_path / "ref")
+    out_resume = str(tmp_path / "resume")
+    wt = _webtext_path(webtext_dir)
+
+    full = run_pipeline(spark, wt, out_full, n_lineage_buckets=8)
+
+    # simulate a killed run: only 3 of 8 partitions complete
+    first = run_pipeline(spark, wt, out_resume, n_lineage_buckets=8, max_partitions_this_run=3)
+    assert first["partitions_processed"] == 3
+    second = run_pipeline(spark, wt, out_resume, n_lineage_buckets=8)
+    assert second["partitions_processed"] == 5
+    # third run: nothing pending
+    third = run_pipeline(spark, wt, out_resume, n_lineage_buckets=8)
+    assert third.get("skipped") is True
+
+    sinks_full = SinkCatalog(os.path.join(out_full, "sinks"))
+    sinks_res = SinkCatalog(os.path.join(out_resume, "sinks"))
+    # logs: exact row equality
+    assert (
+        sinks_res.read(spark, "otel_logs").count()
+        == sinks_full.read(spark, "otel_logs").count()
+        == 2000
+    )
+    # rollup: identical (host, window) -> count maps
+    a = {
+        (r.host, r.window_start): r.page_count
+        for r in sinks_full.read(spark, "rollup_host_window").collect()
+    }
+    b = {
+        (r.host, r.window_start): r.page_count
+        for r in sinks_res.read(spark, "rollup_host_window").collect()
+    }
+    assert a == b
+    # topology elements: identical distinct element sets (delivery is
+    # at-least-once across runs; identity equality is the invariant)
+    for t in ("topology_components", "topology_relations"):
+        sa = {
+            (r.data_source, r.external_id)
+            for r in sinks_full.read(spark, t).select("data_source", "external_id").collect()
+        }
+        sb = {
+            (r.data_source, r.external_id)
+            for r in sinks_res.read(spark, t).select("data_source", "external_id").collect()
+        }
+        assert sa == sb
+
+
+def test_tombstones_on_mapping_removal(spark, webtext_dir, tmp_path):
+    out = str(tmp_path / "tomb")
+    prev = default_mappings()
+    cur = default_mappings()
+    removed_id = cur.components.pop(1).identifier  # drop page-host mapping
+    summary = run_pipeline(
+        spark,
+        _webtext_path(webtext_dir),
+        out,
+        mappings=cur,
+        previous_mappings=prev,
+        n_lineage_buckets=4,
+    )
+    assert summary["removed_mappings"] == [removed_id]
+    sinks = SinkCatalog(os.path.join(out, "sinks"))
+    tombs = sinks.read(spark, "tombstones")
+    assert tombs.count() == 4  # one per shard (R5)
+    assert tombs.select("data_source").distinct().first()[0] == removed_id
