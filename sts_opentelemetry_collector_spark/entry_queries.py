@@ -1,0 +1,735 @@
+"""Driver-contract query catalog: every SURVEY.md §2 operator (plus the
+training-data ops) as a named (Spark query, DuckDB oracle SQL) pair over
+the driver's deterministic tables (TESTDATA.md).
+
+Cross-engine determinism rules used throughout:
+- counts stay integer; money/double sums become integer cents
+  (SUM of doubles is partition-order dependent in the last bits — integer
+  sums are exact and engine-identical);
+- doubles produced row-locally (ratios, cosine) are fine: the arithmetic
+  is sequential within a row in both engines; rounded to 4 decimals;
+- hashes use md5 (bit-identical in Spark and DuckDB), never engine-private
+  hash()/xxhash64;
+- every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.aggregate import bucket_index_expr, edge_metrics
+from .operators.dedup import dedup_within_refresh_window
+from .operators.routing import route_fanout, with_shard_id
+from .operators.similarity import (
+    cosine_topk,
+    lsh_buckets,
+    near_dup_pairs,
+)
+from .operators.textops import (
+    exact_dedup,
+    fingerprints,
+    language_id,
+    minhash_lsh_buckets,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash16,
+    token_counts,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / expression transforms
+
+
+def q_p2_condition_filter(spark, sf):
+    """P2: mapping condition cascade as a pushed-down filter."""
+    return (
+        _t(spark, sf, "events")
+        .where((F.col("event_type") == "error") & (F.col("value") > 100))
+        .select("event_id", "user_id", "ts", "value")
+    )
+
+
+SQL_P2 = """
+SELECT event_id, user_id, ts, value FROM events
+WHERE event_type = 'error' AND value > 100
+"""
+
+
+def q_p3_expression_transform(spark, sf):
+    """P3: compiled column expressions (the CEL-replacement surface)."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.upper("event_type").alias("event_type_uc"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("user_tag"),
+        F.round(F.col("value") * 2, 2).alias("value_x2"),
+        F.when(F.col("value") > 100, "hot").otherwise("cold").alias("heat"),
+    )
+
+
+SQL_P3 = """
+SELECT event_id,
+       upper(event_type) AS event_type_uc,
+       'user-' || CAST(user_id AS VARCHAR) AS user_tag,
+       round(value * 2, 2) AS value_x2,
+       CASE WHEN value > 100 THEN 'hot' ELSE 'cold' END AS heat
+FROM events
+"""
+
+
+def q_p7_component_projection(spark, sf):
+    """P7: URN component projection (mapping.go:36-157 shape)."""
+    return (
+        _t(spark, sf, "events")
+        .where(F.col("event_type") == "signup")
+        .select(
+            F.concat(F.lit("urn:event:user/"), F.col("user_id").cast("string")).alias(
+                "external_id"
+            ),
+            F.col("user_id").cast("string").alias("name"),
+            F.lit("user").alias("type_name"),
+        )
+        .dropDuplicates(["external_id"])
+    )
+
+
+SQL_P7 = """
+SELECT DISTINCT 'urn:event:user/' || CAST(user_id AS VARCHAR) AS external_id,
+       CAST(user_id AS VARCHAR) AS name,
+       'user' AS type_name
+FROM events WHERE event_type = 'signup'
+"""
+
+
+def q_p8_relation_projection(spark, sf):
+    """P8: relation projection with concat external id + dependency enum."""
+    e = _t(spark, sf, "events").where(F.col("event_type").isin("purchase", "signup"))
+    src = F.concat(F.lit("urn:user/"), F.col("user_id").cast("string"))
+    tgt = F.concat(F.lit("urn:type/"), F.col("event_type"))
+    return e.select(
+        F.concat_ws("-", src, tgt).alias("external_id"),
+        src.alias("source_identifier"),
+        tgt.alias("target_identifier"),
+        F.lit("emits").alias("type_name"),
+        F.lit("CONNECTION").alias("dependency_type"),
+    ).dropDuplicates(["external_id"])
+
+
+SQL_P8 = """
+SELECT DISTINCT
+       'urn:user/' || CAST(user_id AS VARCHAR) || '-' || 'urn:type/' || event_type AS external_id,
+       'urn:user/' || CAST(user_id AS VARCHAR) AS source_identifier,
+       'urn:type/' || event_type AS target_identifier,
+       'emits' AS type_name,
+       'CONNECTION' AS dependency_type
+FROM events WHERE event_type IN ('purchase', 'signup')
+"""
+
+
+def q_p11_json_body_extract(spark, sf):
+    """P11/log-body parse: JSON attr extraction + stringification."""
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("prop_k"),
+    )
+
+
+SQL_P11 = """
+SELECT event_id, json_extract_string(props, '$.k') AS prop_k FROM events
+"""
+
+
+def q_p15_usage_bytes(spark, sf):
+    """P15/A10: usage metering — serialized bytes per stream."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.octet_length("props")).alias("usage_bytes"),
+            F.count(F.lit(1)).alias("record_count"),
+        )
+    )
+
+
+SQL_P15 = """
+SELECT event_type,
+       CAST(SUM(strlen(props)) AS BIGINT) AS usage_bytes,
+       COUNT(*) AS record_count
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 dedup
+
+
+def q_d1_dedup_first_wins(spark, sf):
+    """D1: projection-key dedup, first-by-time wins (row_number == 1)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+SQL_D1 = """
+SELECT event_id, user_id, event_type, ts FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+"""
+
+
+def q_d3_refresh_window_dedup(spark, sf):
+    """D3: TTL-refresh dedup — one survivor per (key, refresh window)."""
+    e = _t(spark, sf, "events")
+    out = dedup_within_refresh_window(
+        e, ["user_id", "event_type"], ts_col="ts", ttl_seconds=900, refresh_fraction=0.5,
+        order_col="event_id",
+    )
+    return out.select("event_id", "user_id", "event_type", "ts")
+
+
+SQL_D3 = """
+SELECT event_id, user_id, event_type, ts FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type, CAST(floor(epoch(ts)/450) AS BIGINT)
+  ORDER BY event_id, ts, user_id, event_type, value, props) = 1
+"""
+
+
+def q_d4_settings_diff(spark, sf):
+    """D4: snapshot diff as anti-join — first-day users absent on the last day."""
+    e = _t(spark, sf, "events")
+    bounds = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    early = (
+        e.crossJoin(F.broadcast(bounds))
+        .where(F.col("ts") < F.col("lo") + F.expr("INTERVAL 1 DAY"))
+        .select("user_id")
+        .distinct()
+    )
+    late = (
+        e.crossJoin(F.broadcast(bounds))
+        .where(F.col("ts") >= F.col("hi") - F.expr("INTERVAL 1 DAY"))
+        .select("user_id")
+        .distinct()
+    )
+    return early.join(late, on="user_id", how="left_anti")
+
+
+SQL_D4 = """
+WITH b AS (SELECT min(ts) lo, max(ts) hi FROM events),
+early AS (SELECT DISTINCT user_id FROM events, b WHERE ts < lo + INTERVAL 1 DAY),
+late  AS (SELECT DISTINCT user_id FROM events, b WHERE ts >= hi - INTERVAL 1 DAY)
+SELECT user_id FROM early WHERE user_id NOT IN (SELECT user_id FROM late)
+"""
+
+
+def q_d5_resource_content_hash(spark, sf):
+    """D5/K4: content-addressed resource dedup via md5 (ResourceRef)."""
+    e = _t(spark, sf, "events")
+    ref = F.md5(F.concat_ws("|", F.col("user_id").cast("string"), F.col("event_type")))
+    return (
+        e.select(ref.alias("resource_ref"))
+        .groupBy("resource_ref")
+        .agg(F.count(F.lit(1)).alias("ref_count"))
+    )
+
+
+SQL_D5 = """
+SELECT md5(CAST(user_id AS VARCHAR) || '|' || event_type) AS resource_ref,
+       COUNT(*) AS ref_count
+FROM events GROUP BY 1
+"""
+
+
+def q_dedup_exact(spark, sf):
+    """Exact text dedup over documents (hash-groupBy)."""
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    """n-gram Jaccard near-dup pairs, lang-blocked."""
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, len(string_split(lower(text),' '))),
+                       i -> string_split(lower(text),' ')[i] || ' ' || string_split(lower(text),' ')[i+1])) AS sh
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+"""
+
+
+def q_minhash_lsh(spark, sf):
+    """MinHash + LSH banding: candidate buckets with >1 doc."""
+    return minhash_lsh_buckets(_t(spark, sf, "documents"), bands=4)
+
+
+SQL_MINHASH_LSH = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(lower(text),' '))),
+                       i -> string_split(lower(text),' ')[i] || ' ' || string_split(lower(text),' ')[i+1])) AS sh
+  FROM documents
+), sigs AS (
+  SELECT doc_id, b.band,
+         list_min(list_transform(sh, s -> md5('band' || b.band || ':' || s))) AS bucket
+  FROM t, (SELECT unnest(range(0, 4)) AS band) b
+)
+SELECT band, bucket, COUNT(*) AS bucket_size, MIN(doc_id) AS min_doc_id
+FROM sigs GROUP BY band, bucket HAVING COUNT(*) > 1
+"""
+
+
+def q_simhash(spark, sf):
+    """SimHash signatures (rows-only check: bit ops not portable to the
+    oracle; validated structurally + by the near-dup pytest)."""
+    return simhash16(_t(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+
+
+def q_j1_pair_join(spark, sf):
+    """J1: service-graph-style pair join — click followed by purchase by
+    the same user within 1 hour (client/server edge completion analog)."""
+    e = _t(spark, sf, "events")
+    a = e.where(F.col("event_type") == "click").alias("a")
+    b = e.where(F.col("event_type") == "purchase").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("pair_total"))
+    )
+
+
+SQL_J1 = """
+SELECT a.user_id AS user_id, COUNT(*) AS pair_total
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY a.user_id
+"""
+
+
+def q_j2_broadcast_enrich(spark, sf):
+    """J2: broadcast-join enrichment against small dims (settings lookup)."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias(
+                "acctbal_cents"
+            ),
+        )
+    )
+
+
+SQL_J2 = """
+SELECT r_name AS region_name, COUNT(*) AS customer_count,
+       CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_j3_enrichment_cascade(spark, sf):
+    """J3: conditional denormalization (when-cascade, topology.go:110-198)."""
+    e = _t(spark, sf, "events")
+    tier = (
+        F.when(F.col("value") > 150, "high")
+        .when(F.col("value") > 50, "mid")
+        .otherwise("low")
+    )
+    return e.groupBy(tier.alias("tier")).agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_J3 = """
+SELECT CASE WHEN value > 150 THEN 'high' WHEN value > 50 THEN 'mid' ELSE 'low' END AS tier,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+
+
+def q_a1_edge_counters(spark, sf):
+    """A1: req_total / req_failed_total per dimension (exact — see A2)."""
+    e = _t(spark, sf, "events").withColumn("failed", F.col("event_type") == "error")
+    return edge_metrics(e, ["user_id"], failed_col="failed")
+
+
+SQL_A1 = """
+SELECT user_id, COUNT(*) AS req_total,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS req_failed_total
+FROM events GROUP BY user_id
+"""
+
+_BOUNDS = [1.0, 5.0, 10.0, 50.0, 100.0, 200.0]
+
+
+def q_a3_histogram(spark, sf):
+    """A3: explicit-bucket histogram (bucket index + counts)."""
+    e = _t(spark, sf, "events").withColumnRenamed("value", "v")
+    return (
+        e.withColumn("bucket", bucket_index_expr("v", _BOUNDS).cast("int"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+    )
+
+
+SQL_A3 = """
+SELECT event_type,
+       CAST(CASE WHEN value <= 1 THEN 0 WHEN value <= 5 THEN 1 WHEN value <= 10 THEN 2
+            WHEN value <= 50 THEN 3 WHEN value <= 100 THEN 4 WHEN value <= 200 THEN 5
+            ELSE 6 END AS INT) AS bucket,
+       COUNT(*) AS bucket_count
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_a6_envelope_groups(spark, sf):
+    """A6: message coalescing — per (key, ts-minute) envelope stats."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id", F.date_trunc("minute", "ts").alias("ts_minute"))
+        .agg(
+            F.count(F.lit(1)).alias("element_count"),
+            F.sum(F.octet_length("props")).alias("payload_bytes"),
+        )
+    )
+
+
+SQL_A6 = """
+SELECT user_id, date_trunc('minute', ts) AS ts_minute,
+       COUNT(*) AS element_count,
+       CAST(SUM(strlen(props)) AS BIGINT) AS payload_bytes
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_w1_tumbling_rollup(spark, sf):
+    """Tumbling-window rollup keyed (hour bucket, type) — the north rule's
+    (host, warc_ts bucket) rollup shape over oracle-checkable data."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+SQL_W1 = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_tpch_q1(spark, sf):
+    """TPC-H Q1 pricing summary (engine-basics witness)."""
+    li = _t(spark, sf, "lineitem")
+    cents = lambda c: F.sum(F.round(F.col(c) * 100, 0).cast("long"))  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.expr("timestamp '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            cents("l_extendedprice").alias("sum_base_price_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 routing
+
+
+def q_r1_shard_routing(spark, sf):
+    """R1: FNV-1a-32 shard assignment (rows-only vs oracle: FNV is not
+    expressible in DuckDB SQL; parity is pinned by unit-test golden
+    vectors instead — tests/test_routing_dedup.py)."""
+    comp = q_p7_component_projection(spark, sf)
+    return (
+        with_shard_id(comp)
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_r3_fanout_counts(spark, sf):
+    """R3: fan-out routing with per-sink routed-row counts."""
+    e = _t(spark, sf, "events")
+    routes = {
+        "errors": "event_type = 'error'",
+        "purchases": "event_type = 'purchase'",
+        "high_value": "value > 150",
+        "all": "true",
+    }
+    routed = route_fanout(e, routes)
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("routed_rows")).select(
+            F.lit(name).alias("sink"), "routed_rows"
+        )
+        for name, df in sorted(routed.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_R3 = """
+SELECT 'all' AS sink, COUNT(*) AS routed_rows FROM events
+UNION ALL SELECT 'errors', COUNT(*) FROM events WHERE event_type = 'error'
+UNION ALL SELECT 'high_value', COUNT(*) FROM events WHERE value > 150
+UNION ALL SELECT 'purchases', COUNT(*) FROM events WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis / similarity
+
+
+def q_lang_id(spark, sf):
+    return language_id(_t(spark, sf, "documents"))
+
+
+SQL_LANG_ID = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+h AS (
+  SELECT doc_id,
+    len(list_filter(toks, t -> t IN ('the','and','of','with','from'))) AS en_hits,
+    len(list_filter(toks, t -> t IN ('el','y','de','con','desde'))) AS es_hits,
+    len(list_filter(toks, t -> t IN ('der','und','von','mit','aus'))) AS de_hits
+  FROM t
+)
+SELECT doc_id, CAST(en_hits AS INT) AS en_hits, CAST(es_hits AS INT) AS es_hits,
+       CAST(de_hits AS INT) AS de_hits,
+       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+            WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END AS predicted_lang
+FROM h
+"""
+
+
+def q_quality_scores(spark, sf):
+    return quality_scores(_t(spark, sf, "documents"))
+
+
+SQL_QUALITY = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 4) AS mean_token_len,
+         round(CAST(len(list_filter(toks, x -> x IN ('the','and','of','with','from'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, mean_token_len, stopword_ratio,
+       CASE WHEN n_tokens >= 32 AND stopword_ratio <= 0.2 THEN 'high'
+            WHEN n_tokens >= 16 THEN 'mid' ELSE 'low' END AS quality_bucket
+FROM f
+"""
+
+
+def q_token_counts(spark, sf):
+    return token_counts(_t(spark, sf, "documents"))
+
+
+SQL_TOKENS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS alpha_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est_tokens
+FROM documents
+"""
+
+
+def q_fingerprints(spark, sf):
+    return fingerprints(_t(spark, sf, "documents"))
+
+
+SQL_FINGERPRINTS = """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_ann_cosine_topk(spark, sf):
+    return cosine_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         round(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+               / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                  * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+  FROM embeddings, q WHERE vec_id <> 0
+)
+SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_lsh_buckets(spark, sf):
+    return lsh_buckets(_t(spark, sf, "embeddings"), n_planes=4)
+
+
+SQL_ANN_LSH = """
+WITH p AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), b AS (
+  SELECT vec_id,
+    (CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * (CASE WHEN (i*7 + 0*13) % 3 < 2 THEN 1.0 ELSE -1.0 END))) > 0 THEN 1 ELSE 0 END
+   + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * (CASE WHEN (i*7 + 1*13) % 3 < 2 THEN 1.0 ELSE -1.0 END))) > 0 THEN 2 ELSE 0 END
+   + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * (CASE WHEN (i*7 + 2*13) % 3 < 2 THEN 1.0 ELSE -1.0 END))) > 0 THEN 4 ELSE 0 END
+   + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * (CASE WHEN (i*7 + 3*13) % 3 < 2 THEN 1.0 ELSE -1.0 END))) > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM p
+)
+SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS bucket_size FROM b GROUP BY 1
+"""
+
+
+def q_embedding_near_dup(spark, sf):
+    return near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.9)
+
+
+SQL_NEAR_DUP = """
+WITH p AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), pairs AS (
+  SELECT a.label AS label,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+  FROM p a JOIN p b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, COUNT(*) AS near_dup_pairs FROM pairs WHERE cos_sim >= 0.9 GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# catalog
+
+QUERIES = {
+    "p2_condition_filter": q_p2_condition_filter,
+    "p3_expression_transform": q_p3_expression_transform,
+    "p7_component_projection": q_p7_component_projection,
+    "p8_relation_projection": q_p8_relation_projection,
+    "p11_json_body_extract": q_p11_json_body_extract,
+    "p15_usage_bytes": q_p15_usage_bytes,
+    "d1_dedup_first_wins": q_d1_dedup_first_wins,
+    "d3_refresh_window_dedup": q_d3_refresh_window_dedup,
+    "d4_settings_diff": q_d4_settings_diff,
+    "d5_resource_content_hash": q_d5_resource_content_hash,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_minhash_lsh,
+    "dedup_simhash": q_simhash,
+    "j1_pair_join": q_j1_pair_join,
+    "j2_broadcast_enrich": q_j2_broadcast_enrich,
+    "j3_enrichment_cascade": q_j3_enrichment_cascade,
+    "a1_edge_counters": q_a1_edge_counters,
+    "a3_histogram": q_a3_histogram,
+    "a6_envelope_groups": q_a6_envelope_groups,
+    "w1_tumbling_rollup": q_w1_tumbling_rollup,
+    "tpch_q1": q_tpch_q1,
+    "r1_shard_routing": q_r1_shard_routing,
+    "r3_fanout_counts": q_r3_fanout_counts,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "token_counts": q_token_counts,
+    "fingerprints": q_fingerprints,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "embedding_near_dup": q_embedding_near_dup,
+}
+
+ORACLES = {
+    "p2_condition_filter": SQL_P2,
+    "p3_expression_transform": SQL_P3,
+    "p7_component_projection": SQL_P7,
+    "p8_relation_projection": SQL_P8,
+    "p11_json_body_extract": SQL_P11,
+    "p15_usage_bytes": SQL_P15,
+    "d1_dedup_first_wins": SQL_D1,
+    "d3_refresh_window_dedup": SQL_D3,
+    "d4_settings_diff": SQL_D4,
+    "d5_resource_content_hash": SQL_D5,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_minhash_lsh": SQL_MINHASH_LSH,
+    # dedup_simhash: rows-only (bit ops not portable)
+    "j1_pair_join": SQL_J1,
+    "j2_broadcast_enrich": SQL_J2,
+    "j3_enrichment_cascade": SQL_J3,
+    "a1_edge_counters": SQL_A1,
+    "a3_histogram": SQL_A3,
+    "a6_envelope_groups": SQL_A6,
+    "w1_tumbling_rollup": SQL_W1,
+    "tpch_q1": SQL_TPCH_Q1,
+    # r1_shard_routing: rows-only (FNV not expressible in the oracle)
+    "r3_fanout_counts": SQL_R3,
+    "lang_id": SQL_LANG_ID,
+    "quality_scores": SQL_QUALITY,
+    "token_counts": SQL_TOKENS,
+    "fingerprints": SQL_FINGERPRINTS,
+    "ann_cosine_topk": SQL_ANN_TOPK,
+    "ann_lsh_buckets": SQL_ANN_LSH,
+    "embedding_near_dup": SQL_NEAR_DUP,
+}

@@ -1,0 +1,265 @@
+"""Training-data text operators over the `documents` table: deduplication
+(exact, n-gram Jaccard, MinHash+LSH, SimHash), language-ID, quality
+scoring, token counting, fingerprinting.
+
+These extend the reference's dedup family (SURVEY.md §2.5) to the
+web-scale training-data pipeline. Everything is built-in Spark SQL
+functions — HOFs (transform/filter/aggregate) keep shingling and hashing
+inside whole-stage codegen; NO Python UDFs. Cross-engine determinism for
+the DuckDB oracle comes from md5 (bit-identical in both engines) instead
+of engine-private hash functions.
+
+Scale notes:
+- exact dedup: one hash-partitioned groupBy on md5(text) — map-side
+  partial agg, AQE-coalesced; no skew (hashes are uniform).
+- n-gram Jaccard: candidate pairing is restricted by a blocking key
+  (lang) — at 100 TB the blocking key must be finer (lang + length
+  bucket + one MinHash band); the LSH path below is the scale path.
+- MinHash: per-band minima computed per row (no shuffle), then one
+  groupBy band-value to form buckets: pairs only within buckets.
+- SimHash: 16-bit signature via md5-derived token bits, all HOFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "with", "from"],
+    "es": ["el", "y", "de", "con", "desde"],
+    "de": ["der", "und", "von", "mit", "aus"],
+}
+
+
+def tokens_col(text_col: str = "text"):
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def shingles_col(text_col: str = "text", n: int = 2):
+    """Distinct word n-gram shingles via HOFs (no explode — one pass)."""
+    toks = tokens_col(text_col)
+    if n == 2:
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    elif n == 3:
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    else:
+        raise ValueError("n in (2, 3)")
+    return F.array_distinct(sh)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: content hash -> group size + keeper id."""
+    return (
+        docs.withColumn("text_hash", F.md5(F.col(text_col)))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str = "lang",
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs by n-gram Jaccard within a blocking key.
+
+    Self-join restricted to the block; Jaccard = |A∩B| / |A∪B| via array
+    HOFs. doc_a < doc_b canonicalizes pairs."""
+    t = docs.select(
+        F.col("doc_id"), F.col(block_col).alias("_block"), shingles_col().alias("sh")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a._block") == F.col("b._block")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_distinct(F.concat(F.col("a.sh"), F.col("b.sh"))))
+    jac = F.round(inter.cast("double") / union, 4)
+    return (
+        joined.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, bands: int = 4) -> DataFrame:
+    """MinHash signature: per band b, min(md5(band_salt || shingle)).
+
+    One column per band (mh_0..mh_{bands-1}); md5 keeps the oracle
+    bit-compatible. Row-local computation — zero shuffle."""
+    sh = shingles_col()
+    out = docs.select("doc_id", sh.alias("sh"))
+
+    # NB: HOF lambdas must be single-arg — a second (default) parameter is
+    # interpreted by PySpark as the element-index argument.
+    def band_hasher(b: int):
+        salt = f"band{b}:"
+        return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+    for b in range(bands):
+        out = out.withColumn(
+            f"mh_{b}", F.array_min(F.transform(F.col("sh"), band_hasher(b)))
+        )
+    return out.drop("sh")
+
+
+def minhash_lsh_buckets(docs: DataFrame, bands: int = 4) -> DataFrame:
+    """LSH banding: docs sharing a band minimum land in one bucket.
+
+    Output: (band, bucket, bucket_size) for buckets with >1 doc — the
+    candidate-pair generator for near-dup at scale (pairs only within
+    buckets, never all-pairs)."""
+    sigs = minhash_signatures(docs, bands)
+    parts = []
+    for b in range(bands):
+        parts.append(
+            sigs.select(F.lit(b).alias("band"), F.col(f"mh_{b}").alias("bucket"), "doc_id")
+        )
+    exploded = parts[0]
+    for p in parts[1:]:
+        exploded = exploded.unionByName(p)
+    return (
+        exploded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("bucket_size") > 1)
+    )
+
+
+def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash: bit j = sign of sum over tokens of ±1 from bit j of
+    md5(token). Pure HOF composition (conv hex->dec, shiftright, aggregate).
+    """
+    toks = tokens_col(text_col)
+    tok_val = lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")  # noqa: E731
+
+    def bit_contrib(j: int):
+        mask = 1 << j
+        return lambda acc, t: acc + F.when(
+            tok_val(t).bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    bits = []
+    for j in range(16):
+        contrib = F.aggregate(toks, F.lit(0).cast("long"), bit_contrib(j))
+        bits.append(F.when(contrib > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    sim = bits[0]
+    for b in bits[1:]:
+        sim = sim + b
+    return docs.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= k (bit_count of xor)."""
+    s = simhash16(docs)
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: stopword-hit counts per candidate language,
+    argmax with a fixed priority tie-break (en > es > de)."""
+    toks = tokens_col(text_col)
+
+    def word_matcher(words: list[str]):
+        # equality-OR chain: Column.isin is not supported on HOF lambda vars
+        def match(t):
+            cond = t == words[0]
+            for w in words[1:]:
+                cond = cond | (t == w)
+            return cond
+
+        return match
+
+    hits = {}
+    for lang, words in STOPWORDS.items():
+        hits[lang] = F.size(F.filter(toks, word_matcher(list(words))))
+    pred = (
+        F.when(
+            (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]), F.lit("en")
+        )
+        .when(hits["es"] >= hits["de"], F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return docs.select(
+        "doc_id",
+        hits["en"].alias("en_hits"),
+        hits["es"].alias("es_hits"),
+        hits["de"].alias("de_hits"),
+        pred.alias("predicted_lang"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality features: token count, mean token length, stopword ratio,
+    and a coarse quality bucket — the training-data filter primitives."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    mean_tok_len = F.round(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tokens,
+        4,
+    )
+    stop = F.size(
+        F.filter(
+            toks,
+            lambda t: (t == "the") | (t == "and") | (t == "of") | (t == "with") | (t == "from"),
+        )
+    )
+    stop_ratio = F.round(stop.cast("double") / n_tokens, 4)
+    bucket = (
+        F.when((n_tokens >= 32) & (stop_ratio <= 0.2), F.lit("high"))
+        .when(n_tokens >= 16, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        bucket.alias("quality_bucket"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, alpha tokens (BPE-ish regex),
+    and a chars/4 subword estimate."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[a-z]+"), 0)).alias("alpha_tokens"),
+        F.ceil(F.length(text_col) / 4).cast("long").alias("bpe_est_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the punctuation/case-normalized text
+    (the D5 content-hash pattern applied to documents)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
