@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + flagship pipeline at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "pages_per_sec": ...}
+
+Quadratic all-pairs ops (ngram_jaccard, embedding_near_dup) are
+correctness-gated at sf0.01 but excluded from the bench set — their scale
+path is the LSH variants benched here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sts_opentelemetry_collector_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "j1_pair_join",
+    "j2_broadcast_enrich",
+    "a1_edge_counters",
+    "a3_histogram",
+    "w1_tumbling_rollup",
+    "d1_dedup_first_wins",
+    "d5_resource_content_hash",
+    "r3_fanout_counts",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "lang_id",
+    "quality_scores",
+    "token_counts",
+    "fingerprints",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+]
+
+
+def _force(df) -> int:
+    """Materialize fully (noop sink: no output cost, full compute)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    from sts_opentelemetry_collector_spark import entry_queries
+    from sts_opentelemetry_collector_spark.plans.pipeline import run_pipeline
+
+    spark = get_spark(app_name="bench", cores=CPUS)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    timings: dict[str, float] = {}
+
+    # warm the JVM/Arrow paths once (excluded from timings)
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    # ---- flagship pipeline: parse -> enrich -> map -> dedup -> route ->
+    # aggregate over the deterministic webtext table at the FIXTURES.md §2
+    # tier for this sf (6M x sf rows: 6k smoke / 60k correctness / 600k bench)
+    from sts_opentelemetry_collector_spark.sources.webtext import write_webtext
+
+    n_pages = max(int(6_000_000 * float(sf)), 1000)
+    tmp = tempfile.mkdtemp(prefix="bench_")
+    try:
+        wt_path = write_webtext(tmp, n_pages, partitions=int(CPUS) * 2)
+
+        t0 = time.time()
+        summary = run_pipeline(
+            spark, wt_path, os.path.join(tmp, "out"), n_lineage_buckets=32
+        )
+        pipeline_sec = time.time() - t0
+        timings["pipeline_e2e"] = round(pipeline_sec, 3)
+        pages_per_sec = n_pages / pipeline_sec
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # ---- operator queries
+    for name in BENCH_QUERIES:
+        fn = entry_queries.QUERIES[name]
+        t0 = time.time()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_parse_route_aggregate_plus_operator_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pages": n_pages,
+                "pages_per_sec": round(pages_per_sec, 1),
+                "pipeline_sink_counts": summary.get("sink_counts", {}),
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -80,6 +80,8 @@ def with_attrs(parsed: DataFrame) -> DataFrame:
     (map semantics: absent key == null lookup)."""
     pairs = []
     for c in ["host", "path", "title", "service", "cluster", "namespace", "lang"]:
+        if c not in parsed.columns:
+            continue
         pairs.append(F.lit(c))
         pairs.append(F.col(c).cast("string"))
     attrs = F.map_filter(F.create_map(*pairs), lambda k, v: v.isNotNull())

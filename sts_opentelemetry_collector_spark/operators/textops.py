@@ -148,22 +148,30 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
     md5(token). Pure HOF composition (conv hex->dec, shiftright, aggregate).
     """
     toks = tokens_col(text_col)
-    tok_val = lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")  # noqa: E731
+    # hash each token ONCE into a materialized numeric array column (md5 is
+    # the expensive part; a separate projection stops Catalyst re-evaluating
+    # it per bit), then fold 16 bit sums over the array
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+        ).alias("_tok_vals"),
+    )
 
     def bit_contrib(j: int):
         mask = 1 << j
-        return lambda acc, t: acc + F.when(
-            tok_val(t).bitwiseAND(F.lit(mask)) != 0, 1
+        return lambda acc, v: acc + F.when(
+            v.bitwiseAND(F.lit(mask)) != 0, 1
         ).otherwise(-1)
 
     bits = []
     for j in range(16):
-        contrib = F.aggregate(toks, F.lit(0).cast("long"), bit_contrib(j))
+        contrib = F.aggregate(F.col("_tok_vals"), F.lit(0).cast("long"), bit_contrib(j))
         bits.append(F.when(contrib > 0, F.lit(1 << j)).otherwise(F.lit(0)))
     sim = bits[0]
     for b in bits[1:]:
         sim = sim + b
-    return docs.select("doc_id", sim.cast("long").alias("simhash"))
+    return hashed.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:

@@ -71,13 +71,40 @@ def run_pipeline(
     if len(pending) < n_lineage_buckets:
         raw = raw.where(F.col("lineage_partition").isin(pending))
 
-    # ---- parse + enrich (single pass, cached for the fan-out)
-    pages = with_attrs(parse_pages(raw.drop("text"), keep_extra=["lineage_partition"]))
+    # ---- parse + enrich + land the logs sink in ONE pass: the pandas-UDF
+    # parse runs exactly once; every downstream stage reads the columnar
+    # sink back (pruned, compressed scan — cheaper than caching the wide
+    # frame in memory at 100 TB, and the write has to happen anyway).
+    pages = parse_pages(raw.drop("text"), keep_extra=["lineage_partition"])
     lang_map, host_topology = dims(spark)
-    enriched = enrich_pages(pages, lang_map, host_topology).persist()
+    enriched = enrich_pages(pages, lang_map, host_topology)
 
-    # ---- mapping engine
-    compiled = apply_mappings(enriched, mappings, signal="logs")
+    logs = enriched.select(
+        "url", "warc_ts", "host", "path", "title", "extracted_text", "lang",
+        "lang_family", "service", "cluster", "namespace",
+        "dim_service", "dim_layer", "lineage_partition",
+    ).withColumn("ds", F.to_date("warc_ts"))
+    # (≙ ClickHouse logs K2, PARTITION BY toDate(ts) — exporter_logs.go:155-159)
+    # dynamic partition overwrite => idempotent resume. Repartition on the
+    # directory keys first: without it every scan task writes into every
+    # (ds, lineage_partition) dir — a tiny-file explosion at any scale.
+    sinks.overwrite(
+        logs.repartition("ds", "lineage_partition"),
+        "otel_logs",
+        partition_by=["ds", "lineage_partition"],
+    )
+
+    logs_back = sinks.read(spark, "otel_logs").where(
+        F.col("lineage_partition").isin(pending)
+    )
+    sink_counts: dict[str, int] = {}
+    sink_counts["otel_logs"] = logs_back.count()
+
+    # ---- mapping engine (over the read-back: no second UDF pass).
+    # The mapping branches never read the text body — persist the pruned
+    # attr columns so the 4 element sinks don't rescan the logs table.
+    mapping_input = with_attrs(logs_back.drop("extracted_text", "title")).persist()
+    compiled = apply_mappings(mapping_input, mappings, signal="logs")
 
     # ---- dedup + shard + route
     components = with_shard_id(dedup_elements(compiled.components))
@@ -87,7 +114,6 @@ def run_pipeline(
     # Keyed write: partitioned by (data_source, shard_id) — the Kafka
     # partition-ordering contract; files land pre-clustered per stream.
     part_cols = ["data_source", "shard_id"]
-    sink_counts: dict[str, int] = {}
 
     # Topology-element sinks are APPEND (at-least-once): a crashed run may
     # re-deliver elements on resume — exactly the reference's Kafka acks
@@ -116,21 +142,6 @@ def run_pipeline(
     tombs = removal_tombstones(spark, removed)
     _write(tombs, "tombstones", partition_by=None)
 
-    # ---- logs sink: the full parsed record stream (≙ ClickHouse logs K2,
-    # PARTITION BY toDate(ts) — exporter_logs.go:155-159). Partitioned by
-    # (ds, lineage_partition) + dynamic overwrite => a rerun of a crashed
-    # run rewrites exactly its partitions: idempotent resume.
-    logs = enriched.select(
-        "url", "warc_ts", "host", "extracted_text", "lang", "lang_family",
-        "service", "cluster", "namespace", "lineage_partition",
-    )
-    sink_counts["otel_logs"] = logs.count()
-    sinks.overwrite(
-        logs.withColumn("ds", F.to_date("warc_ts")),
-        "otel_logs",
-        partition_by=["ds", "lineage_partition"],
-    )
-
     # ---- windowed telemetry rollup (host, warc_ts bucket), salted for skew.
     # Recomputed from the logs sink (all completed partitions), overwritten:
     # always consistent with whatever subset has landed, so a resumed job
@@ -142,8 +153,8 @@ def run_pipeline(
     sink_counts["rollup_host_window"] = rollup.count()
     sinks.overwrite(rollup, "rollup_host_window", partition_by=None)
 
-    # ---- per-partition lineage + metrics
-    stats = partition_stats(enriched).collect()
+    # ---- per-partition lineage + metrics (from the landed sink)
+    stats = partition_stats(logs_back).collect()
     manifest.record(
         spark,
         [
@@ -167,7 +178,7 @@ def run_pipeline(
     sinks.append(telemetry, "telemetry", partition_by=None)
 
     total_rows = sum(r.row_count for r in stats)
-    enriched.unpersist()
+    mapping_input.unpersist()
     elapsed = time.time() - t_start
     return {
         "run_id": run_id,
