@@ -121,10 +121,12 @@ def run_pipeline(
     # (ReplacingMergeTree / topology intake), so re-delivery is a refresh,
     # not corruption.
     def _write(df: DataFrame, name: str, partition_by=part_cols) -> None:
+        df = df.persist()  # count + write share one computation
         cnt = df.count()
         sink_counts[name] = cnt
         if cnt:
             sinks.append(df, name, partition_by=partition_by)
+        df.unpersist()
 
     _write(components, "topology_components")
     _write(relations, "topology_relations")
