@@ -44,7 +44,10 @@ def get_spark(
         # cluster with TB-scale inputs raise this back to 128-256 MB.
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: ONE JVM hosts all executor threads — size the heap
+        # for the concurrency (32 tasks x Arrow batches in 8g thrashes GC
+        # and inverts scaling).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # Mapping-engine semantics: expression eval errors mean "condition

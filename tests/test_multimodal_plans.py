@@ -94,11 +94,17 @@ def test_whole_stage_codegen_covers_mapping(spark, webtext):
     from sts_opentelemetry_collector_spark.operators.parse import parse_pages, with_attrs
     from sts_opentelemetry_collector_spark.sources.settings import default_mappings
 
+    import contextlib
+    import io
+
     register_sql_functions(spark)
     pages = with_attrs(parse_pages(webtext))
     out = apply_mappings(pages, default_mappings())
-    plan = out.components._jdf.queryExecution().explainString("formatted")
-    assert "WholeStageCodegen" in plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.components.explain("formatted")
+    plan = buf.getvalue()
+    assert "codegen id" in plan  # whole-stage codegen spans present
     # plan-level witness that Catalyst prunes the parse UDF out of branches
     # whose mapping never references parsed fields: the page-host branch
     # reads only (url, lang) straight from the scan
