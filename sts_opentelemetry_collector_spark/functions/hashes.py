@@ -54,6 +54,27 @@ def fnv1a32(values: pd.Series) -> pd.Series:
     return fnv1a32_batch(values)
 
 
+def fnv1a32_col(col) -> "F.Column":
+    """Pure-JVM FNV-1a-32: fold over the utf-8 bytes with HOFs.
+
+    Same byte-for-byte semantics as the pandas UDF (parity-tested), but
+    stays inside whole-stage codegen — no Python workers in the shard
+    stage. (h ^ byte) * prime stays < 2^56, so plain long arithmetic with
+    a 32-bit mask after the multiply is exact.
+    """
+    b = F.encode(col, "utf-8")
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.octet_length(b)),
+        F.lit(2166136261).cast("long"),
+        lambda h, i: (
+            h.bitwiseXOR(F.conv(F.hex(F.substring(b, i.cast("int"), 1)), 16, 10).cast("long"))
+            * F.lit(16777619)
+        ).bitwiseAND(F.lit(0xFFFFFFFF)),
+    )
+    # sequence(1, 0) would generate a DESCENDING range — guard empty input
+    return F.when(F.octet_length(b) == 0, F.lit(2166136261).cast("long")).otherwise(folded)
+
+
 def fnv1a32_py(s: str) -> int:
     """Scalar reference implementation (tests/golden pins)."""
     h = 2166136261

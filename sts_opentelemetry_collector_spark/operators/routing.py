@@ -22,19 +22,28 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.hashes import fnv1a32
+from ..functions.hashes import fnv1a32, fnv1a32_col
 
 SHARD_COUNT = 4  # message_builder.go:15
 
 
-def with_shard_id(df: DataFrame, id_col: str = "external_id", shards: int = SHARD_COUNT) -> DataFrame:
+def with_shard_id(
+    df: DataFrame,
+    id_col: str = "external_id",
+    shards: int = SHARD_COUNT,
+    jvm: bool = True,
+) -> DataFrame:
     """R1: shard_id = FNV-1a-32(id) % shards; null ids get pseudo-shard -1
-    ("unknown", message_builder.go:259-263)."""
+    ("unknown", message_builder.go:259-263).
+
+    Default is the pure-JVM HOF fold (codegen, no Python workers); the
+    pandas-UDF variant remains for parity testing and very long ids (the
+    HOF fold is O(len) per row either way, but numpy wins on >1KB ids).
+    """
+    h = fnv1a32_col(F.col(id_col)) if jvm else fnv1a32(F.col(id_col))
     return df.withColumn(
         "shard_id",
-        F.when(
-            F.col(id_col).isNotNull(), F.pmod(fnv1a32(F.col(id_col)), F.lit(shards))
-        ).otherwise(F.lit(-1)),
+        F.when(F.col(id_col).isNotNull(), F.pmod(h, F.lit(shards))).otherwise(F.lit(-1)),
     )
 
 

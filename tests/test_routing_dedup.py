@@ -45,10 +45,21 @@ def test_fnv1a32_vectorized_matches_scalar():
 def test_shard_assignment(spark):
     ids = ["urn:a", "urn:b", "urn:c", None]
     df = spark.createDataFrame([(i,) for i in ids], "external_id string")
-    rows = {r.external_id: r.shard_id for r in with_shard_id(df).collect()}
-    for i in ids[:3]:
-        assert rows[i] == fnv1a32_py(i) % SHARD_COUNT
-    assert rows[None] == -1
+    for jvm in (True, False):  # JVM HOF fold and pandas UDF must agree
+        rows = {r.external_id: r.shard_id for r in with_shard_id(df, jvm=jvm).collect()}
+        for i in ids[:3]:
+            assert rows[i] == fnv1a32_py(i) % SHARD_COUNT
+        assert rows[None] == -1
+
+
+def test_fnv_jvm_expression_parity(spark):
+    from sts_opentelemetry_collector_spark.functions.hashes import fnv1a32_col
+    import pyspark.sql.functions as F
+
+    vals = ["", "a", "foobar", "urn:webtext:host/site000.example.org", "unicode-ü-✓"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r.s: r.h for r in df.select("s", fnv1a32_col(F.col("s")).alias("h")).collect()}
+    assert got == {v: fnv1a32_py(v) for v in vals}
 
 
 def test_route_fanout_multi_subscription(spark):
