@@ -97,6 +97,8 @@ def test_whole_stage_codegen_covers_mapping(spark, webtext):
     import contextlib
     import io
 
+    spark.catalog.clearCache()  # a cached identical subtree (other test
+    # modules) would swap the scan for InMemoryTableScan and hide codegen
     register_sql_functions(spark)
     pages = with_attrs(parse_pages(webtext))
     out = apply_mappings(pages, default_mappings())
