@@ -540,6 +540,194 @@ UNION ALL SELECT 'purchases', COUNT(*) FROM events WHERE event_type = 'purchase'
 """
 
 
+def q_s3_cdc_diff(spark, sf):
+    """S3: CDC-style snapshot diff (k8sresource receiver poll-diff,
+    crd_collector.go:105-141): ADDED/REMOVED/MODIFIED user states between
+    the first and last week, state = per-user event count."""
+    e = _t(spark, sf, "events")
+    bounds = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    week1 = (
+        e.crossJoin(F.broadcast(bounds))
+        .where(F.col("ts") < F.col("lo") + F.expr("INTERVAL 7 DAY"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    week2 = (
+        e.crossJoin(F.broadcast(bounds))
+        .where(F.col("ts") >= F.col("hi") - F.expr("INTERVAL 7 DAY"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    joined = week1.join(week2, on="user_id", how="full_outer")
+    delta = (
+        F.when(F.col("n2").isNull(), "REMOVED")
+        .when(F.col("n1").isNull(), "ADDED")
+        .when(F.col("n1") != F.col("n2"), "MODIFIED")
+        .otherwise("UNCHANGED")
+    )
+    return joined.select("user_id", delta.alias("delta_type"))
+
+
+SQL_S3 = """
+WITH b AS (SELECT min(ts) lo, max(ts) hi FROM events),
+w1 AS (SELECT user_id, COUNT(*) n1 FROM events, b WHERE ts < lo + INTERVAL 7 DAY GROUP BY user_id),
+w2 AS (SELECT user_id, COUNT(*) n2 FROM events, b WHERE ts >= hi - INTERVAL 7 DAY GROUP BY user_id)
+SELECT COALESCE(w1.user_id, w2.user_id) AS user_id,
+       CASE WHEN n2 IS NULL THEN 'REMOVED' WHEN n1 IS NULL THEN 'ADDED'
+            WHEN n1 <> n2 THEN 'MODIFIED' ELSE 'UNCHANGED' END AS delta_type
+FROM w1 FULL OUTER JOIN w2 ON w1.user_id = w2.user_id
+"""
+
+
+def q_p16_auth_quarantine(spark, sf):
+    """P16: API-key auth — broadcast join against the valid-key dim;
+    invalid rows route to quarantine (servicetokenauthextension analog).
+    Valid keys = even user ids (deterministic dim)."""
+    e = _t(spark, sf, "events")
+    valid = (
+        e.select("user_id").distinct().where(F.col("user_id") % 2 == 0)
+    )
+    tagged = e.join(
+        F.broadcast(valid.withColumn("_valid", F.lit(1))), on="user_id", how="left"
+    )
+    return tagged.groupBy(
+        F.when(F.col("_valid").isNotNull(), "authorized")
+        .otherwise("quarantine")
+        .alias("route")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_P16 = """
+SELECT CASE WHEN user_id % 2 = 0 THEN 'authorized' ELSE 'quarantine' END AS route,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_a6_envelope_split(spark, sf):
+    """A6 (full): size-capped envelope splitting — running payload-byte
+    total per (user, minute) integer-divided by the cap assigns envelope
+    ordinals (message_builder.go:162-171, 768KiB cap scaled down)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id", F.date_trunc("minute", "ts"))
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = e.withColumn("_b", F.octet_length("props"))
+    env = sized.withColumn(
+        "envelope_id", ((F.sum("_b").over(w) - F.col("_b")) / F.lit(64)).cast("long")
+    )
+    return (
+        env.groupBy("user_id", F.date_trunc("minute", "ts").alias("ts_minute"), "envelope_id")
+        .agg(
+            F.count(F.lit(1)).alias("element_count"),
+            F.sum("_b").alias("envelope_bytes"),
+        )
+    )
+
+
+SQL_A6_SPLIT = """
+WITH sized AS (
+  SELECT user_id, date_trunc('minute', ts) AS ts_minute, event_id,
+         strlen(props) AS b,
+         SUM(strlen(props)) OVER (PARTITION BY user_id, date_trunc('minute', ts)
+                                  ORDER BY event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM events
+)
+SELECT user_id, ts_minute, CAST(floor((cum - b) / 64.0) AS BIGINT) AS envelope_id,
+       COUNT(*) AS element_count, CAST(SUM(b) AS BIGINT) AS envelope_bytes
+FROM sized GROUP BY 1, 2, 3
+"""
+
+
+def q_w2_sessionize(spark, sf):
+    """Sessionization via lag(): a >30-min gap starts a new session —
+    the windowed stateful pattern the reference's TTL stores imply."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("_new", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("_new").alias("session_count"),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+    )
+
+
+SQL_W2 = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS session_count,
+       COUNT(*) AS event_count
+FROM g GROUP BY user_id
+"""
+
+
+def q_set_ops(spark, sf):
+    """Set ops (flattenMappings dedup-union + intersect/except analogs,
+    snapshot_manager.go:225-253): clickers ∩ purchasers, minus error-ers."""
+    e = _t(spark, sf, "events")
+    clickers = e.where("event_type = 'click'").select("user_id").distinct()
+    purchasers = e.where("event_type = 'purchase'").select("user_id").distinct()
+    error_ers = e.where("event_type = 'error'").select("user_id").distinct()
+    return clickers.intersect(purchasers).exceptAll(error_ers)
+
+
+SQL_SET_OPS = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def q_tpch_q3_agg(spark, sf):
+    """Shuffle-join + aggregation across 3 tables (shipping-priority
+    shape, revenue in integer cents for engine-exact sums)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    revenue_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(revenue_cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS line_count
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis / similarity
 
@@ -691,6 +879,12 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "r1_shard_routing": q_r1_shard_routing,
     "r3_fanout_counts": q_r3_fanout_counts,
+    "s3_cdc_diff": q_s3_cdc_diff,
+    "p16_auth_quarantine": q_p16_auth_quarantine,
+    "a6_envelope_split": q_a6_envelope_split,
+    "w2_sessionize": q_w2_sessionize,
+    "set_ops": q_set_ops,
+    "tpch_q3_agg": q_tpch_q3_agg,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
@@ -725,6 +919,12 @@ ORACLES = {
     "tpch_q1": SQL_TPCH_Q1,
     # r1_shard_routing: rows-only (FNV not expressible in the oracle)
     "r3_fanout_counts": SQL_R3,
+    "s3_cdc_diff": SQL_S3,
+    "p16_auth_quarantine": SQL_P16,
+    "a6_envelope_split": SQL_A6_SPLIT,
+    "w2_sessionize": SQL_W2,
+    "set_ops": SQL_SET_OPS,
+    "tpch_q3_agg": SQL_TPCH_Q3,
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY,
     "token_counts": SQL_TOKENS,
