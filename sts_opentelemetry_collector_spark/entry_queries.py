@@ -732,6 +732,26 @@ GROUP BY o_orderpriority
 # text analysis / similarity
 
 
+def q_sg_edge_metrics(spark, sf):
+    """J1+A1: service-graph pair-join counters over the deterministic span
+    generator (rows-only: spans aren't a driver table, so no oracle; the
+    semantics are pinned by tests/test_aggregate_servicegraph.py)."""
+    from .operators.service_graph import service_graph_metrics
+    from .sources.spans import spans_df
+
+    counters, _hist = service_graph_metrics(spans_df(spark, 2000))
+    return counters
+
+
+def q_sg_relations(spark, sf):
+    """A8: service-graph metrics -> topology relations (rows-only)."""
+    from .operators.service_graph import metrics_to_relations, service_graph_metrics
+    from .sources.spans import spans_df
+
+    counters, _ = service_graph_metrics(spans_df(spark, 2000))
+    return metrics_to_relations(counters)
+
+
 def q_lang_id(spark, sf):
     return language_id(_t(spark, sf, "documents"))
 
@@ -885,6 +905,8 @@ QUERIES = {
     "w2_sessionize": q_w2_sessionize,
     "set_ops": q_set_ops,
     "tpch_q3_agg": q_tpch_q3_agg,
+    "sg_edge_metrics": q_sg_edge_metrics,
+    "sg_relations": q_sg_relations,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,

@@ -73,16 +73,31 @@ def parse_pages(
     return df.select(*cols)
 
 
+# P12: sensitive attributes are stripped BEFORE any mapping expression can
+# read them (internal/model.go:23-28)
+SENSITIVE_ATTRS = ("sts_api_key", "client_sts_api_key", "server_sts_api_key")
+
+
+def strip_sensitive(attrs_col):
+    return F.map_filter(
+        attrs_col,
+        lambda k, v: ~k.isin(*SENSITIVE_ATTRS),
+    )
+
+
 def with_attrs(parsed: DataFrame) -> DataFrame:
     """Add the open-keyed `attrs` map the mapping engine evaluates against —
     the analog of the reference's per-record attribute views
     (internal/model.go:30-45). Values stringified, null-valued keys kept out
-    (map semantics: absent key == null lookup)."""
+    (map semantics: absent key == null lookup); sensitive keys stripped
+    (P12)."""
     pairs = []
     for c in ["host", "path", "title", "service", "cluster", "namespace", "lang"]:
         if c not in parsed.columns:
             continue
         pairs.append(F.lit(c))
         pairs.append(F.col(c).cast("string"))
-    attrs = F.map_filter(F.create_map(*pairs), lambda k, v: v.isNotNull())
+    attrs = strip_sensitive(
+        F.map_filter(F.create_map(*pairs), lambda k, v: v.isNotNull())
+    )
     return parsed.withColumn("attrs", attrs)

@@ -138,6 +138,21 @@ def test_referenced_columns():
     assert rewrite_vars("concat(vars.a, vars.b)") == "concat(var_a, var_b)"
 
 
+def test_sensitive_attrs_stripped(spark):
+    # P12: sts_api_key must never be visible to mapping expressions
+    # (internal/model.go:23-28)
+    import pyspark.sql.functions as F
+
+    from sts_opentelemetry_collector_spark.operators.parse import strip_sensitive
+
+    df = spark.createDataFrame(
+        [({"sts_api_key": "secret", "client_sts_api_key": "s2", "host": "h"},)],
+        "attrs map<string,string>",
+    )
+    out = df.select(strip_sensitive(F.col("attrs")).alias("attrs")).first()
+    assert set(out.attrs.keys()) == {"host"}
+
+
 def test_diff_settings():
     cur = default_mappings()
     prev = default_mappings()
