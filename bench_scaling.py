@@ -39,6 +39,7 @@ summary = run_pipeline(spark, wt_path, out, n_lineage_buckets=32)
 elapsed = time.time() - t0
 print(json.dumps({{"cores": cores, "elapsed": elapsed,
                    "rows": summary["rows"],
+                   "stage_sec": summary.get("stage_sec", {{}}),
                    "sink_counts": summary["sink_counts"]}}))
 spark.stop()
 import shutil

@@ -47,6 +47,12 @@ class Manifest:
         df = spark.read.parquet(self.path)
         return {r.lineage_partition for r in df.select("lineage_partition").distinct().collect()}
 
+    def run_ids(self, spark: SparkSession) -> set[str]:
+        if not os.path.exists(self.path):
+            return set()
+        df = spark.read.parquet(self.path)
+        return {r.run_id for r in df.select("run_id").distinct().collect()}
+
     def record(self, spark: SparkSession, rows: list[dict]) -> None:
         if not rows:
             return

@@ -22,6 +22,7 @@ derived from the snapshot diff (R5) exactly like snapshot_manager.go:156-214.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 import pyspark.sql.functions as F
@@ -38,6 +39,18 @@ from ..sources.settings import default_mappings, diff_settings
 from ..sources.webtext import dims
 from .lineage import Manifest, new_run_id, partition_stats, with_lineage_partition
 from .sinks import SinkCatalog
+
+
+def _orphan_runs(spark, sinks: SinkCatalog, manifest: Manifest, sink_name: str) -> list[str]:
+    """run=<id> directories never committed to the manifest (crashed runs)."""
+    base = sinks.path(sink_name)
+    if not os.path.isdir(base):
+        return []
+    on_disk = {
+        d.split("=", 1)[1] for d in os.listdir(base) if d.startswith("run=")
+    }
+    committed = manifest.run_ids(spark)
+    return sorted(on_disk - committed)
 
 
 def run_pipeline(
@@ -92,24 +105,26 @@ def run_pipeline(
         "lang_family", "service", "cluster", "namespace",
         "dim_service", "dim_layer", "lineage_partition",
     ).withColumn("ds", F.to_date("warc_ts"))
-    # (≙ ClickHouse logs K2, PARTITION BY toDate(ts) — exporter_logs.go:155-159)
-    # dynamic partition overwrite => idempotent resume. Repartition on the
-    # directory keys first: without it every scan task writes into every
-    # (ds, lineage_partition) dir — a tiny-file explosion at any scale.
+    # (≙ ClickHouse logs K2 — exporter_logs.go:155-159.)
+    # Write-audit-publish resume: each run writes straight into its own
+    # run=<id> directory — NO shuffle of the full stream just to organize
+    # directories (shuffling 100 TB for layout is the classic anti-pattern).
+    # A crashed run's orphan directory (run_id absent from the manifest) is
+    # purged before the next run starts, so reruns are exactly-once at the
+    # lineage-partition level. (Iceberg: this is a snapshot commit.)
+    for orphan in _orphan_runs(spark, sinks, manifest, "otel_logs"):
+        shutil.rmtree(os.path.join(sinks.path("otel_logs"), f"run={orphan}"),
+                      ignore_errors=True)
+
     logs_obs = Observation("otel_logs")
-    sinks.overwrite(
-        logs.repartition("ds", "lineage_partition").observe(
-            logs_obs, F.count(F.lit(1)).alias("n")
-        ),
-        "otel_logs",
-        partition_by=["ds", "lineage_partition"],
-    )
+    logs_run_dir = os.path.join(sinks.path("otel_logs"), f"run={run_id}")
+    logs.observe(logs_obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(logs_run_dir)
     sink_counts: dict[str, int] = {"otel_logs": logs_obs.get["n"]}
     _mark("parse_and_logs_write")
 
-    logs_back = sinks.read(spark, "otel_logs").where(
-        F.col("lineage_partition").isin(pending)
-    )
+    logs_back = spark.read.parquet(logs_run_dir)
 
     # ---- mapping engine (over the read-back: no second UDF pass).
     # Narrow projection of exactly the attr columns the mappings reference:

@@ -89,6 +89,25 @@ def test_resume_converges_to_full_run(spark, webtext_dir, tmp_path):
         assert sa == sb
 
 
+def test_crashed_run_orphans_purged(spark, webtext_dir, tmp_path):
+    """A run dir with no manifest entry (crashed mid-run) must be purged on
+    the next run — exactly-once at the lineage-partition level."""
+    import pyspark.sql.functions as F_
+
+    out = str(tmp_path / "crash")
+    wt = _webtext_path(webtext_dir)
+    # simulate a crashed first run: data landed, manifest never written
+    orphan_dir = os.path.join(out, "sinks", "otel_logs", "run=deadbeef0000")
+    spark.read.parquet(wt).limit(50).select(
+        "url", "warc_ts", F_.lit(0).alias("lineage_partition")
+    ).write.parquet(orphan_dir)
+
+    summary = run_pipeline(spark, wt, out, n_lineage_buckets=4)
+    assert not os.path.exists(orphan_dir)
+    sinks = SinkCatalog(os.path.join(out, "sinks"))
+    assert sinks.read(spark, "otel_logs").count() == summary["rows"] == 2000
+
+
 def test_tombstones_on_mapping_removal(spark, webtext_dir, tmp_path):
     out = str(tmp_path / "tomb")
     prev = default_mappings()
