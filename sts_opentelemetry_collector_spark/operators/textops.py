@@ -100,13 +100,22 @@ def ngram_jaccard_pairs(
     )
 
 
+def spread(docs: DataFrame) -> DataFrame:
+    """Compute-dense ops over small/compacted inputs need an explicit
+    fan-out: a 5k-row single-file table scans as ONE task, serializing the
+    hashing regardless of cluster size. At 100 TB inputs arrive pre-split;
+    for small dimension-scale tables this round-robin repartition is the
+    standard fix."""
+    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
+
 def minhash_signatures(docs: DataFrame, bands: int = 4) -> DataFrame:
     """MinHash signature: per band b, min(md5(band_salt || shingle)).
 
     One column per band (mh_0..mh_{bands-1}); md5 keeps the oracle
     bit-compatible. Row-local computation — zero shuffle."""
     sh = shingles_col()
-    out = docs.select("doc_id", sh.alias("sh"))
+    out = spread(docs).select("doc_id", sh.alias("sh"))
 
     # NB: HOF lambdas must be single-arg — a second (default) parameter is
     # interpreted by PySpark as the element-index argument.
@@ -128,14 +137,17 @@ def minhash_lsh_buckets(docs: DataFrame, bands: int = 4) -> DataFrame:
     candidate-pair generator for near-dup at scale (pairs only within
     buckets, never all-pairs)."""
     sigs = minhash_signatures(docs, bands)
-    parts = []
-    for b in range(bands):
-        parts.append(
-            sigs.select(F.lit(b).alias("band"), F.col(f"mh_{b}").alias("bucket"), "doc_id")
-        )
-    exploded = parts[0]
-    for p in parts[1:]:
-        exploded = exploded.unionByName(p)
+    # single explode, not a union of per-band branches: a union would
+    # re-evaluate the whole signature subtree once per band
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"mh_{b}").alias("bucket"))
+            for b in range(bands)
+        ]
+    )
+    exploded = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     return (
         exploded.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("bucket_size"), F.min("doc_id").alias("min_doc_id"))
@@ -151,7 +163,7 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # hash each token ONCE into a materialized numeric array column (md5 is
     # the expensive part; a separate projection stops Catalyst re-evaluating
     # it per bit), then fold 16 bit sums over the array
-    hashed = docs.select(
+    hashed = spread(docs).select(
         "doc_id",
         F.transform(
             toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
