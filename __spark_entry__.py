@@ -70,8 +70,18 @@ def synth_webtext_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The driver supplies its own session: set the runtime-settable confs
+    the mapping engine's semantics depend on (eval-error => condition
+    false; explicit tag keys override regex-derived ones)."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_session_confs(spark)
     register_sql_functions(spark)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     webtext = synth_webtext_from_documents(docs)
