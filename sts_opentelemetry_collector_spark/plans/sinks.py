@@ -48,6 +48,48 @@ class SinkCatalog:
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.format(self.fmt).load(self.path(name))
 
+    def upsert(
+        self,
+        df: DataFrame,
+        name: str,
+        keys: list[str],
+        order_col: str | None = None,
+    ) -> None:
+        """Last-writer-wins upsert keyed `keys` — the ClickHouse
+        ReplacingMergeTree / Iceberg MERGE INTO analog (K4 resources dim,
+        exporter_resources.go:141-144). Parquet backend: read existing ∪
+        new, keep the newest row per key, atomic swap via staging dir.
+        On Iceberg this is a real MERGE — no table rewrite."""
+        import shutil
+        import uuid
+
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        spark = df.sparkSession
+        target = self.path(name)
+        if self.exists(name):
+            existing = self.read(spark, name)
+            merged = existing.withColumn("_gen", F.lit(0)).unionByName(
+                df.withColumn("_gen", F.lit(1))
+            )
+        else:
+            merged = df.withColumn("_gen", F.lit(1))
+        order = [F.col("_gen").desc()] + (
+            [F.col(order_col).desc()] if order_col else []
+        )
+        w = Window.partitionBy(*keys).orderBy(*order)
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_gen")
+        )
+        staging = f"{target}__stage_{uuid.uuid4().hex[:8]}"
+        latest.write.format(self.fmt).mode("overwrite").save(staging)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(staging, target)
+
     def exists(self, name: str) -> bool:
         p = self.path(name)
         return os.path.exists(p) and any(
