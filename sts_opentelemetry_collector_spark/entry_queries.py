@@ -305,9 +305,28 @@ FROM sigs GROUP BY band, bucket HAVING COUNT(*) > 1
 
 
 def q_simhash(spark, sf):
-    """SimHash signatures (rows-only check: bit ops not portable to the
-    oracle; validated structurally + by the near-dup pytest)."""
+    """SimHash signatures — oracle-checked via generated 16-term bit SQL."""
     return simhash16(_t(spark, sf, "documents"))
+
+
+def _simhash_oracle_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(tv, v -> CASE WHEN (v >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(lower(text), ' '),
+                        tok -> ('0x' || substr(md5(tok), 1, 4))::BIGINT) AS tv
+  FROM documents
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM t
+"""
+
+
+SQL_SIMHASH = _simhash_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -930,7 +949,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_minhash_lsh": SQL_MINHASH_LSH,
-    # dedup_simhash: rows-only (bit ops not portable)
+    "dedup_simhash": SQL_SIMHASH,
     "j1_pair_join": SQL_J1,
     "j2_broadcast_enrich": SQL_J2,
     "j3_enrichment_cascade": SQL_J3,
