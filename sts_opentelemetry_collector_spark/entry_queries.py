@@ -873,6 +873,30 @@ SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS bucket_size FROM b GROUP BY 1
 """
 
 
+def q_ann_ivf_assign(spark, sf):
+    from .operators.similarity import ivf_assign
+
+    return ivf_assign(_t(spark, sf, "embeddings"), n_centroids=8)
+
+
+SQL_ANN_IVF = """
+WITH p AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM p WHERE vec_id < 8
+), scored AS (
+  SELECT p.vec_id, c.centroid_id,
+         round(list_dot_product(p.v, c.cv)
+               / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.cv, c.cv))), 4) AS sim
+  FROM p CROSS JOIN c
+), best AS (
+  SELECT vec_id, centroid_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1
+)
+SELECT centroid_id, COUNT(*) AS cluster_size FROM best GROUP BY centroid_id
+"""
+
+
 def q_embedding_near_dup(spark, sf):
     return near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.9)
 
@@ -932,6 +956,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_ivf_assign": q_ann_ivf_assign,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
@@ -972,5 +997,6 @@ ORACLES = {
     "fingerprints": SQL_FINGERPRINTS,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH,
+    "ann_ivf_assign": SQL_ANN_IVF,
     "embedding_near_dup": SQL_NEAR_DUP,
 }

@@ -113,6 +113,39 @@ def ann_lsh_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
+def ivf_assign(
+    embeddings: DataFrame, n_centroids: int = 8
+) -> DataFrame:
+    """IVF-style partition assignment: each vector joins its nearest
+    centroid (deterministic centroids = the first K stored vectors; a real
+    build would k-means them — the ASSIGNMENT plan is identical).
+
+    At 100 TB this is the ANN partitioner: vectors land in centroid-keyed
+    partitions and queries probe one (or few) partitions. Plan shape:
+    broadcast K centroids x fact side, per-row argmin — no shuffle of the
+    vectors themselves."""
+    from pyspark.sql import Window
+
+    cents = embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("cv"))
+            / (_norm(F.col("embedding")) * _norm(F.col("cv"))),
+            4,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    assigned = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+
+
 def near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.95, block_col: str = "label"
 ) -> DataFrame:
