@@ -201,17 +201,21 @@ def run_pipeline(
     # ---- per-partition lineage + metrics (from the landed sink)
     stats = partition_stats(logs_back).collect()
     _mark("partition_stats")
+    # Record EVERY pending partition, including hash buckets that happened
+    # to be empty — otherwise an empty bucket would stay "pending" forever
+    # and every future run would rescan the input for it.
+    by_part = {r.lineage_partition: r for r in stats}
     manifest.record(
         spark,
         [
             {
                 "run_id": run_id,
-                "lineage_partition": r.lineage_partition,
+                "lineage_partition": p,
                 "input_split": webtext_path,
-                "row_count": r.row_count,
-                "parse_failures": r.parse_failures,
+                "row_count": by_part[p].row_count if p in by_part else 0,
+                "parse_failures": by_part[p].parse_failures if p in by_part else 0,
             }
-            for r in stats
+            for p in pending
         ],
     )
     telemetry = telemetry_counters(
@@ -229,7 +233,7 @@ def run_pipeline(
     return {
         "run_id": run_id,
         "pending": len(pending),
-        "partitions_processed": len(stats),
+        "partitions_processed": len(pending),
         "rows": total_rows,
         "parse_failures": sum(r.parse_failures for r in stats),
         "sink_counts": sink_counts,
