@@ -45,6 +45,14 @@ BENCH_QUERIES = [
     "fingerprints",
     "ann_cosine_topk",
     "ann_lsh_buckets",
+    "ann_ivf_assign",
+    "s3_cdc_diff",
+    "p16_auth_quarantine",
+    "a6_envelope_split",
+    "w2_sessionize",
+    "set_ops",
+    "tpch_q3_agg",
+    "sg_edge_metrics",
 ]
 
 
