@@ -83,6 +83,12 @@ def main() -> None:
     try:
         wt_path = write_webtext(tmp, n_pages, partitions=int(CPUS) * 2)
 
+        # untimed warmup at 1% scale: compiles the whole-stage codegen for
+        # every pipeline plan shape so the timed run measures steady-state
+        # throughput, not JIT
+        warm_path = write_webtext(os.path.join(tmp, "warm"), max(n_pages // 100, 500))
+        run_pipeline(spark, warm_path, os.path.join(tmp, "warm_out"), n_lineage_buckets=32)
+
         t0 = time.time()
         summary = run_pipeline(
             spark, wt_path, os.path.join(tmp, "out"), n_lineage_buckets=32

@@ -118,9 +118,12 @@ def run_pipeline(
 
     logs_obs = Observation("otel_logs")
     logs_run_dir = os.path.join(sinks.path("otel_logs"), f"run={run_id}")
+    # snappy on the hot stream sink — same throughput-over-ratio tradeoff
+    # as the reference's Kafka producer (stskafkaexporter/exporter.go:47-53);
+    # the long-lived dimension/rollup tables stay zstd.
     logs.observe(logs_obs, F.count(F.lit(1)).alias("n")).write.mode(
         "overwrite"
-    ).parquet(logs_run_dir)
+    ).option("compression", "snappy").parquet(logs_run_dir)
     sink_counts: dict[str, int] = {"otel_logs": logs_obs.get["n"]}
     _mark("parse_and_logs_write")
 
