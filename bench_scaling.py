@@ -40,6 +40,13 @@ def _sys_cpu_jiffies():
     # user nice system (idle/iowait excluded)
     return int(parts[1]) + int(parts[2]) + int(parts[3])
 
+# untimed 1%-scale warmup: fresh JVMs pay whole-stage-codegen JIT on the
+# first run of every plan shape; steady-state throughput is what scales
+from sts_opentelemetry_collector_spark.sources.webtext import write_webtext
+warm_dir = tempfile.mkdtemp(dir=base)
+warm_wt = write_webtext(warm_dir, 10_000)
+run_pipeline(spark, warm_wt, warm_dir + "/out", n_lineage_buckets=32)
+
 j0 = _sys_cpu_jiffies()
 t0 = time.time()
 summary = run_pipeline(spark, wt_path, out, n_lineage_buckets=32)
