@@ -67,7 +67,11 @@ def main() -> None:
     from sts_opentelemetry_collector_spark.plans.pipeline import run_pipeline
 
     spark = get_spark(app_name="bench", cores=CPUS)
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf = SF_DIR.rstrip("/").split("sf")[-1]
+        float(sf)
+    except ValueError:
+        sf = "0.1"
     timings: dict[str, float] = {}
 
     # warm the JVM/Arrow paths once (excluded from timings)
