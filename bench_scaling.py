@@ -1,14 +1,16 @@
 #!/usr/bin/env python
 """Scaling-efficiency evidence (BASELINE.json north_rule): run the IDENTICAL
-pipeline job at two parallelism levels (local[8] = N, local[32] = 4N cores —
-no real cluster in this sandbox) on the same input and report throughput at
-both plus efficiency = (throughput_4N / throughput_N) / 4.
+pipeline job at two parallelism levels (default local[2] = N, local[8] = 4N —
+chosen inside this VM's DRAM-linear region, see BENCH.md; no real cluster in
+this sandbox) on the same input and report throughput at both plus
+efficiency = (throughput_4N / throughput_N) / 4, nominal and CPU-normalized.
 
-Each level runs in a fresh subprocess (own JVM). The sandbox host has
-noisy-neighbor variance, so each level runs `--repeats` times and the
-fastest run is used (standard practice for throughput ceilings).
+Each level runs in a fresh subprocess (own JVM) with an untimed 1%-scale
+warmup (steady-state, not JIT). The sandbox host has noisy-neighbor
+variance, so each level runs `--repeats` times and the fastest run is used
+(standard practice for throughput ceilings).
 
-Usage: python bench_scaling.py [--rows 600000] [--repeats 2] [--out BENCH.md]
+Usage: python bench_scaling.py [--rows 4800000] [--repeats 2] [--out BENCH.md]
 """
 
 from __future__ import annotations

@@ -26,6 +26,17 @@ _P_LANG = re.compile(rb'<html lang="([^"]*)"')
 _P_META = re.compile(rb'<meta name="sts:service" content="([^"]*)"')
 _P_K8S = re.compile(rb'data-k8s="cluster=([^;"]*);namespace=([^;"]*)"')
 
+# fast path: one combined match against the canonical page template (5x
+# fewer regex scans per row); any page that deviates falls back to the
+# per-field patterns above, so semantics are unchanged
+_P_ALL = re.compile(
+    rb'<html lang="([^"]*)"><head><title>(.*?)</title>'
+    rb'<meta name="sts:service" content="([^"]*)"></head>'
+    rb"<body><p>(.*?)</p>"
+    rb'<span data-k8s="cluster=([^;"]*);namespace=([^;"]*)"',
+    re.DOTALL,
+)
+
 
 def extract_text_bytes(html: bytes) -> str:
     """Byte-identical text extraction: the exact payload between <p>..</p>.
@@ -61,6 +72,15 @@ def parse_html_batch(html: pd.Series) -> pd.DataFrame:
         if b is None:
             continue
         b = bytes(b)
+        m = _P_ALL.match(b)
+        if m:
+            out["html_lang"][i] = m.group(1).decode("utf-8")
+            out["title"][i] = m.group(2).decode("utf-8")
+            out["service"][i] = m.group(3).decode("utf-8")
+            out["text"][i] = m.group(4).decode("utf-8")
+            out["cluster"][i] = m.group(5).decode("utf-8")
+            out["namespace"][i] = m.group(6).decode("utf-8")
+            continue
         m = _P_TEXT.search(b)
         if m:
             out["text"][i] = m.group(1).decode("utf-8")
