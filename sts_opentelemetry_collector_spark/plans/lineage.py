@@ -41,10 +41,20 @@ class Manifest:
     def __init__(self, path: str):
         self.path = path
 
-    def completed_partitions(self, spark: SparkSession) -> set[int]:
+    def completed_partitions(
+        self, spark: SparkSession, input_split: str | None = None
+    ) -> set[int]:
+        """Completed partitions, scoped to one input batch when given —
+        a NEW ingest batch (different input path) starts with a clean
+        pending set instead of being skipped (Iceberg analog: incremental
+        processing per snapshot)."""
         if not os.path.exists(self.path):
             return set()
         df = spark.read.parquet(self.path)
+        if input_split is not None:
+            import pyspark.sql.functions as F
+
+            df = df.where(F.col("input_split") == input_split)
         return {r.lineage_partition for r in df.select("lineage_partition").distinct().collect()}
 
     def run_ids(self, spark: SparkSession) -> set[str]:

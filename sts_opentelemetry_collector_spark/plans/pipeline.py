@@ -80,8 +80,9 @@ def run_pipeline(
     manifest = Manifest(os.path.join(out_root, "manifest.parquet"))
     run_id = new_run_id()
 
-    # ---- resume: which lineage partitions are still pending?
-    done = manifest.completed_partitions(spark)
+    # ---- resume: which lineage partitions of THIS input batch are pending?
+    # (manifest is input_split-scoped: a new ingest batch processes fully)
+    done = manifest.completed_partitions(spark, input_split=webtext_path)
     pending = [p for p in range(n_lineage_buckets) if p not in done]
     if max_partitions_this_run is not None:
         pending = pending[:max_partitions_this_run]

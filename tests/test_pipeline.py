@@ -89,6 +89,31 @@ def test_resume_converges_to_full_run(spark, webtext_dir, tmp_path):
         assert sa == sb
 
 
+def test_incremental_second_batch(spark, webtext_dir, tmp_path):
+    """A NEW ingest batch (different input path) must process fully —
+    the manifest is input_split-scoped, not global (Iceberg incremental
+    processing analog)."""
+    from sts_opentelemetry_collector_spark.sources.webtext import write_webtext
+
+    out = str(tmp_path / "incr")
+    first = run_pipeline(spark, _webtext_path(webtext_dir), out, n_lineage_buckets=4)
+    assert first["rows"] == 2000
+
+    batch2_dir = str(tmp_path / "batch2")
+    wt2 = write_webtext(batch2_dir, 500, seed=7)
+    second = run_pipeline(spark, wt2, out, n_lineage_buckets=4)
+    assert second.get("skipped") is not True
+    assert second["rows"] == 500
+
+    sinks = SinkCatalog(os.path.join(out, "sinks"))
+    assert sinks.read(spark, "otel_logs").count() == 2500
+    # rollup covers both batches
+    rollup = sinks.read(spark, "rollup_host_window")
+    assert rollup.agg(F.sum("page_count")).first()[0] == 2500
+    # re-running either batch: nothing pending
+    assert run_pipeline(spark, wt2, out, n_lineage_buckets=4).get("skipped") is True
+
+
 def test_crashed_run_orphans_purged(spark, webtext_dir, tmp_path):
     """A run dir with no manifest entry (crashed mid-run) must be purged on
     the next run — exactly-once at the lineage-partition level."""
