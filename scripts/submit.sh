@@ -4,12 +4,14 @@
 # MASTER (e.g. yarn / k8s://...) and executor sizing; defaults run local.
 #
 # usage: scripts/submit.sh <webtext_path> <out_root> [n_lineage_buckets]
+#        [--mappings file.json] [--previous-mappings file.json]
 set -euo pipefail
 
 HERE="$(cd "$(dirname "$0")/.." && pwd)"
 WEBTEXT="${1:?webtext parquet path}"
 OUT="${2:?output root}"
 BUCKETS="${3:-256}"
+shift $(( $# > 3 ? 3 : $# ))
 MASTER="${MASTER:-local[${SPARK_GRAFT_CPUS:-32}]}"
 
 ZIP="$(mktemp -d)/sts_otel_spark.zip"
@@ -24,4 +26,4 @@ spark-submit \
   --conf spark.sql.ansi.enabled=false \
   --conf spark.sql.mapKeyDedupPolicy=LAST_WIN \
   --conf spark.sql.sources.partitionOverwriteMode=dynamic \
-  "$HERE/scripts/run_job.py" "$WEBTEXT" "$OUT" "$BUCKETS"
+  "$HERE/scripts/run_job.py" "$WEBTEXT" "$OUT" "$BUCKETS" "$@"
