@@ -518,15 +518,33 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_r1_shard_routing(spark, sf):
-    """R1: FNV-1a-32 shard assignment (rows-only vs oracle: FNV is not
-    expressible in DuckDB SQL; parity is pinned by unit-test golden
-    vectors instead — tests/test_routing_dedup.py)."""
+    """R1: FNV-1a-32 shard assignment (message_builder.go:259-263),
+    oracle-checked: DuckDB folds the same FNV over the id's bytes via
+    list_reduce (ids are pure ASCII so ascii()==utf-8 byte). Golden
+    vectors additionally pinned in tests/test_routing_dedup.py."""
     comp = q_p7_component_projection(spark, sf)
     return (
         with_shard_id(comp)
         .groupBy("shard_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+SQL_R1 = """
+WITH c AS (SELECT DISTINCT 'urn:event:user/' || CAST(user_id AS VARCHAR) AS external_id
+           FROM events WHERE event_type = 'signup'),
+h AS (
+  SELECT external_id,
+         list_reduce(
+           list_prepend(CAST(2166136261 AS BIGINT),
+             list_transform(range(1, length(external_id)+1),
+                            i -> CAST(ascii(substr(external_id, CAST(i AS INT), 1)) AS BIGINT))),
+           (h, b) -> (xor(h, b) * 16777619) % 4294967296
+         ) AS fnv
+  FROM c
+)
+SELECT CAST(fnv % 4 AS BIGINT) AS shard_id, COUNT(*) AS n FROM h GROUP BY 1
+"""
 
 
 def q_r3_fanout_counts(spark, sf):
@@ -752,23 +770,76 @@ GROUP BY o_orderpriority
 
 
 def q_sg_edge_metrics(spark, sf):
-    """J1+A1: service-graph pair-join counters over the deterministic span
-    generator (rows-only: spans aren't a driver table, so no oracle; the
-    semantics are pinned by tests/test_aggregate_servicegraph.py)."""
+    """J1+A1: service-graph pair-join counters over spans derived in-plan
+    from the events table (sources/spans.py spans_from_events) — runs the
+    REAL build_edges pair join; the oracle mirrors the derivation + 1:1
+    join algebraically (connector.go:253-343, :387-455)."""
     from .operators.service_graph import service_graph_metrics
-    from .sources.spans import spans_df
+    from .sources.spans import spans_from_events
 
-    counters, _hist = service_graph_metrics(spans_df(spark, 2000))
+    counters, _hist = service_graph_metrics(spans_from_events(_t(spark, sf, "events")))
     return counters
 
 
-def q_sg_relations(spark, sf):
-    """A8: service-graph metrics -> topology relations (rows-only)."""
-    from .operators.service_graph import metrics_to_relations, service_graph_metrics
-    from .sources.spans import spans_df
+# The oracle skips the spans union + self-join: client and server rows of a
+# pair derive from the SAME event row, so the (trace_id, join_key) equi-join
+# is 1:1 by construction and the edge columns are direct expressions.
+_SG_EDGES_CTE = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         (event_type='purchase' AND event_id%10<2) AS is_db,
+         (event_type='signup') AS is_async,
+         (event_type='error' AND event_id%2=0) AS cfail,
+         (event_type='error' AND event_id%3=0) AS sfail,
+         list_value('frontend','checkout','payments','cart','shipping','auth') AS s
+  FROM events
+  WHERE NOT (event_type='click' AND event_id%5=0)
+), edges AS (
+  SELECT s[CAST(user_id%6 AS INT)+1] AS client,
+         CASE WHEN is_db THEN (CASE WHEN event_id%2=0 THEN 'postgres' ELSE 'redis' END)
+              ELSE s[CAST((user_id+1+event_id%3)%6 AS INT)+1] END AS server,
+         CASE WHEN is_db THEN 'database'
+              WHEN is_async THEN 'messaging_system' ELSE '' END AS connection_type,
+         CASE WHEN is_db THEN cfail ELSE (cfail OR sfail) END AS failed
+  FROM e
+)
+"""
 
-    counters, _ = service_graph_metrics(spans_df(spark, 2000))
+SQL_SG_EDGE_METRICS = _SG_EDGES_CTE + """
+SELECT client, server, connection_type,
+       COUNT(*) AS req_total,
+       CAST(SUM(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS req_failed_total
+FROM edges GROUP BY client, server, connection_type
+"""
+
+
+def q_sg_relations(spark, sf):
+    """A8: service-graph metrics -> topology relations
+    (ststopologyexporter/internal/topology.go:200-320)."""
+    from .operators.service_graph import metrics_to_relations, service_graph_metrics
+    from .sources.spans import spans_from_events
+
+    counters, _ = service_graph_metrics(spans_from_events(_t(spark, sf, "events")))
     return metrics_to_relations(counters)
+
+
+SQL_SG_RELATIONS = _SG_EDGES_CTE + """
+, counters AS (
+  SELECT client, server, connection_type,
+         COUNT(*) AS req_total,
+         CAST(SUM(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS req_failed_total
+  FROM edges GROUP BY client, server, connection_type
+)
+SELECT 'urn:service/' || client || '-' || 'urn:service/' || server AS external_id,
+       'urn:service/' || client AS source_identifier,
+       'urn:service/' || server AS target_identifier,
+       CASE WHEN connection_type = 'messaging_system' THEN 'async_calls'
+            WHEN connection_type = 'database' THEN 'uses'
+            ELSE 'calls' END AS type_name,
+       'CONNECTION' AS dependency_type,
+       req_total, req_failed_total
+FROM counters
+"""
 
 
 def q_lang_id(spark, sf):
@@ -983,8 +1054,10 @@ ORACLES = {
     "a6_envelope_groups": SQL_A6,
     "w1_tumbling_rollup": SQL_W1,
     "tpch_q1": SQL_TPCH_Q1,
-    # r1_shard_routing: rows-only (FNV not expressible in the oracle)
+    "r1_shard_routing": SQL_R1,
     "r3_fanout_counts": SQL_R3,
+    "sg_edge_metrics": SQL_SG_EDGE_METRICS,
+    "sg_relations": SQL_SG_RELATIONS,
     "s3_cdc_diff": SQL_S3,
     "p16_auth_quarantine": SQL_P16,
     "a6_envelope_split": SQL_A6_SPLIT,

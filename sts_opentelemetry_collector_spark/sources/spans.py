@@ -52,5 +52,82 @@ def generate_spans(n_pairs: int, seed: int = 42, unmatched_fraction: float = 0.1
     )
 
 
+SPANS_SCHEMA = (
+    "trace_id string, span_id string, parent_span_id string, kind string, "
+    "service string, start_ts double, end_ts double, failed boolean, "
+    "db_system string, peer_service string"
+)
+
+
 def spans_df(spark, n_pairs: int, seed: int = 42):
-    return spark.createDataFrame(generate_spans(n_pairs, seed))
+    # Explicit schema: peer_service is all-null in the generated frame and
+    # schema inference fails on it under default session confs
+    # (CANNOT_DETERMINE_TYPE) — never rely on inference for typed sources.
+    return spark.createDataFrame(generate_spans(n_pairs, seed), schema=SPANS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checkable span stream: derived in-plan from the driver's `events`
+# table with pure column expressions, so the service-graph queries
+# (J1/A1/A8) are hash-checked against a DuckDB mirror of the SAME
+# derivation instead of rows-only. Fully distributed — no driver-side
+# generator, scales with the input.
+
+import pyspark.sql.functions as F  # noqa: E402
+
+SPAN_SERVICES = ["frontend", "checkout", "payments", "cart", "shipping", "auth"]
+
+
+def spans_from_events(events):
+    """Deterministic span pairs from events (SQL-expressible):
+
+    - purchase & event_id%10<2  -> DB client-only span (postgres/redis)
+    - click & event_id%5=0      -> unmatched client (joinless, dropped)
+    - signup                    -> PRODUCER/CONSUMER async pair
+    - everything else           -> CLIENT/SERVER sync pair
+    - error rows set failed on client (id%2=0) / server (id%3=0)
+    - latency = floor(value*10) % 2000 ms (floor: Spark cast truncates,
+      DuckDB cast rounds — floor is exact IEEE in both engines)
+    """
+    svc = F.array(*[F.lit(s) for s in SPAN_SERVICES])
+    lat_ms = F.floor(F.col("value") * 10).cast("long") % 2000
+    is_db = (F.col("event_type") == "purchase") & (F.col("event_id") % 10 < 2)
+    is_unmatched = (F.col("event_type") == "click") & (F.col("event_id") % 5 == 0)
+    is_async = F.col("event_type") == "signup"
+    client_failed = (F.col("event_type") == "error") & (F.col("event_id") % 2 == 0)
+    server_failed = (F.col("event_type") == "error") & (F.col("event_id") % 3 == 0)
+    client_svc = F.element_at(svc, (F.col("user_id") % 6 + 1).cast("int"))
+    server_svc = F.element_at(
+        svc, ((F.col("user_id") + 1 + F.col("event_id") % 3) % 6 + 1).cast("int")
+    )
+    trace = F.col("event_id").cast("string")
+    cspan = F.concat(F.lit("c-"), trace)
+
+    client = events.select(
+        trace.alias("trace_id"),
+        cspan.alias("span_id"),
+        F.lit("").alias("parent_span_id"),
+        F.when(is_async, "PRODUCER").otherwise("CLIENT").alias("kind"),
+        client_svc.alias("service"),
+        F.lit(0.0).alias("start_ts"),
+        (lat_ms.cast("double") / 1000.0).alias("end_ts"),
+        client_failed.alias("failed"),
+        F.when(
+            is_db,
+            F.when(F.col("event_id") % 2 == 0, "postgres").otherwise("redis"),
+        ).alias("db_system"),
+        F.lit(None).cast("string").alias("peer_service"),
+    )
+    server = events.where(~is_db & ~is_unmatched).select(
+        trace.alias("trace_id"),
+        F.concat(F.lit("s-"), trace).alias("span_id"),
+        cspan.alias("parent_span_id"),
+        F.when(is_async, "CONSUMER").otherwise("SERVER").alias("kind"),
+        server_svc.alias("service"),
+        F.lit(0.0).alias("start_ts"),
+        (lat_ms.cast("double") / 2000.0).alias("end_ts"),
+        server_failed.alias("failed"),
+        F.lit(None).cast("string").alias("db_system"),
+        F.lit(None).cast("string").alias("peer_service"),
+    )
+    return client.unionByName(server)
