@@ -74,9 +74,9 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     """The driver supplies its own session: set the runtime-settable confs
     the mapping engine's semantics depend on (eval-error => condition
     false; explicit tag keys override regex-derived ones)."""
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from sts_opentelemetry_collector_spark.session import ensure_semantics_confs
+
+    ensure_semantics_confs(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

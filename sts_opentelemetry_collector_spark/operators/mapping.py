@@ -184,12 +184,16 @@ def _branch(df: DataFrame, m) -> DataFrame:
 def _tags_col(tags: tuple[TagMapping, ...]):
     """Tag projections (P9/P10, mapping.go:167-245).
 
-    Regex-derived maps first, explicit keys last — with LAST_WIN dedup the
-    explicit keys override, matching mapping.go:236-243.
+    Regex-derived maps first (in REVERSE config order: with LAST_WIN dedup
+    the last concat entry wins, and the reference keeps the FIRST regex
+    mapping on key collisions), explicit keys last so they override
+    everything (mapping.go:236-243). Null-valued entries (eval error under
+    ANSI-off) are dropped — the reference skips the tag entirely on eval
+    error, it never emits tags[k]=null.
     """
     if not tags:
         return F.lit(None).cast(MapType(StringType(), StringType()))
-    parts = []
+    regex_parts = []
     direct_kv = []
     for t in tags:
         if t.pattern is None:
@@ -199,19 +203,26 @@ def _tags_col(tags: tuple[TagMapping, ...]):
             # template ${N} -> $N (mapping.go:17 placeholder regex)
             target = re.sub(r"\$\{(\d+)\}", r"$\1", t.target)
             matched = F.map_filter(src, lambda k, v: k.rlike(t.pattern))
+            # The new key is built purely from the FIRST match's expansion
+            # (mapping.go ResolveTagMappings uses re.ExpandString of match
+            # #1) — regexp_replace alone would keep unmatched prefix/suffix
+            # and expand every occurrence for unanchored patterns.
             rekeyed = F.transform_keys(
-                matched, lambda k, v: F.regexp_replace(k, t.pattern, target)
+                matched,
+                lambda k, v: F.regexp_replace(
+                    F.regexp_extract(k, t.pattern, 0), t.pattern, target
+                ),
             )
-            parts.append(rekeyed)
+            regex_parts.append(rekeyed)
+    parts = list(reversed(regex_parts))
     if direct_kv:
         kv = []
         for target, source in direct_kv:
             kv.append(F.lit(target))
             kv.append(F.expr(rewrite_vars(source)).cast("string"))
         parts.append(F.create_map(*kv))
-    if len(parts) == 1:
-        return parts[0]
-    return F.map_concat(*parts)
+    out = parts[0] if len(parts) == 1 else F.map_concat(*parts)
+    return F.map_filter(out, lambda k, v: v.isNotNull())
 
 
 def _validate(df: DataFrame, m, exprs_and_kinds: list[tuple[str, str]]) -> str | None:
@@ -222,7 +233,13 @@ def _validate(df: DataFrame, m, exprs_and_kinds: list[tuple[str, str]]) -> str |
     kind 'map': must resolve to a map.
     kind 'bool': anything coercible; left to where().
     """
-    probe = _apply_vars(df, m)
+    # var expressions are analyzed eagerly by withColumn: an invalid var
+    # (e.g. unresolvable column in a user-supplied snapshot) must surface
+    # as a mapping-level error, not abort the whole run
+    try:
+        probe = _apply_vars(df, m)
+    except Exception as ex:  # AnalysisException / ParseException
+        return f"invalid variable expression: {type(ex).__name__}: {ex}"
     for e, kind in exprs_and_kinds:
         if not e:
             continue

@@ -74,6 +74,9 @@ def run_pipeline(
         stage_sec[stage] = round(now - _last[0], 2)
         _last[0] = now
 
+    from ..session import ensure_semantics_confs
+
+    ensure_semantics_confs(spark)  # eval-error=>false; explicit-tag-wins
     register_sql_functions(spark)
     mappings = mappings or default_mappings()
     sinks = SinkCatalog(os.path.join(out_root, "sinks"))

@@ -46,7 +46,9 @@ class SinkCatalog:
         w.save(self.path(name))
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.format(self.fmt).load(self.path(name))
+        df = spark.read.format(self.fmt).load(self.path(name))
+        # _bucket is upsert-internal layout, not table schema
+        return df.drop("_bucket") if "_bucket" in df.columns else df
 
     def upsert(
         self,
@@ -54,12 +56,20 @@ class SinkCatalog:
         name: str,
         keys: list[str],
         order_col: str | None = None,
+        n_buckets: int = 16,
     ) -> None:
         """Last-writer-wins upsert keyed `keys` — the ClickHouse
         ReplacingMergeTree / Iceberg MERGE INTO analog (K4 resources dim,
-        exporter_resources.go:141-144). Parquet backend: read existing ∪
-        new, keep the newest row per key, atomic swap via staging dir.
-        On Iceberg this is a real MERGE — no table rewrite."""
+        exporter_resources.go:141-144).
+
+        Parquet backend, bucket-scoped: the dim is partitioned by
+        _bucket = hash(keys) % n_buckets; an upsert reads + merges +
+        rewrites ONLY the buckets its rows touch (partition-pruned scan),
+        leaving every other bucket's files byte-untouched — the dynamic
+        partition-overwrite shape. At 100 TB with Iceberg this is a real
+        MERGE INTO; the per-bucket crash-safe swap (rename old aside ->
+        move staging in -> delete old) means a crash at any point leaves
+        a recoverable directory, never a lost table."""
         import shutil
         import uuid
 
@@ -68,13 +78,29 @@ class SinkCatalog:
 
         spark = df.sparkSession
         target = self.path(name)
+        bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
+            "int"
+        )
+        new = df.withColumn("_bucket", bucket)
+
         if self.exists(name):
-            existing = self.read(spark, name)
+            # bounded driver-side collect: <= n_buckets values
+            touched = sorted(
+                r["_bucket"] for r in new.select("_bucket").distinct().collect()
+            )
+            existing = (
+                spark.read.format(self.fmt)
+                .load(target)
+                .where(F.col("_bucket").isin(touched))  # partition-pruned
+                .withColumn("_bucket", F.col("_bucket").cast("int"))
+            )
             merged = existing.withColumn("_gen", F.lit(0)).unionByName(
-                df.withColumn("_gen", F.lit(1))
+                new.withColumn("_gen", F.lit(1))
             )
         else:
-            merged = df.withColumn("_gen", F.lit(1))
+            touched = None
+            merged = new.withColumn("_gen", F.lit(1))
+
         order = [F.col("_gen").desc()] + (
             [F.col(order_col).desc()] if order_col else []
         )
@@ -84,15 +110,36 @@ class SinkCatalog:
             .where(F.col("_rn") == 1)
             .drop("_rn", "_gen")
         )
+
+        if touched is None:
+            latest.write.format(self.fmt).partitionBy("_bucket").mode(
+                "overwrite"
+            ).save(target)
+            return
+
+        # staging sibling (same filesystem) -> per-bucket three-step swap
         staging = f"{target}__stage_{uuid.uuid4().hex[:8]}"
-        latest.write.format(self.fmt).mode("overwrite").save(staging)
-        if os.path.exists(target):
-            shutil.rmtree(target)
-        os.rename(staging, target)
+        latest.write.format(self.fmt).partitionBy("_bucket").mode("overwrite").save(
+            staging
+        )
+        for b in touched:
+            bdir = os.path.join(target, f"_bucket={b}")
+            sdir = os.path.join(staging, f"_bucket={b}")
+            aside = f"{bdir}__old"
+            if not os.path.exists(sdir):
+                continue  # every key of this bucket was superseded away (can't happen with last-writer-wins, but stay safe)
+            if os.path.exists(aside):
+                shutil.rmtree(aside)  # leftover from a crashed run
+            if os.path.exists(bdir):
+                os.rename(bdir, aside)
+            os.rename(sdir, bdir)
+            if os.path.exists(aside):
+                shutil.rmtree(aside)
+        shutil.rmtree(staging, ignore_errors=True)
 
     def exists(self, name: str) -> bool:
         p = self.path(name)
         return os.path.exists(p) and any(
-            f.endswith(".parquet") or f.startswith(("data_source=", "part-"))
+            f.endswith(".parquet") or f.startswith(("data_source=", "part-", "_bucket="))
             for f in os.listdir(p)
         )

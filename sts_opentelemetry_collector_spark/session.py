@@ -64,3 +64,14 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_semantics_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs the mapping engine's semantics depend on —
+    call this when the session is supplied externally (driver, spark-submit
+    without submit.sh's --conf flags). On Spark 4.x ANSI defaults to TRUE,
+    which would turn expression eval errors into job failures and
+    map_concat key collisions into exceptions."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")

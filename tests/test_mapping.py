@@ -164,3 +164,122 @@ def test_diff_settings():
     )
     assert diff_settings(prev, cur) == ["removed-mapping"]
     assert diff_settings(cur, cur) == []
+
+
+def test_invalid_var_is_mapping_level_error(spark):
+    """An unresolvable VAR expression must yield a mapping-level error
+    record, not abort apply_mappings (logtopology e2e: invalid mapping ->
+    error entry, zero rows, other mappings unaffected)."""
+    from sts_opentelemetry_collector_spark.config import (
+        ComponentMapping,
+        ComponentOutput,
+        MappingSet,
+    )
+    from sts_opentelemetry_collector_spark.operators.mapping import apply_mappings
+
+    df = spark.createDataFrame([("h1",)], "host string")
+    bad = ComponentMapping(
+        identifier="bad-var",
+        vars=(("x", "no_such_column || 'y'"),),
+        output=ComponentOutput(identifier="vars.x", name="'n'", type_name="'t'"),
+    )
+    good = ComponentMapping(
+        identifier="good",
+        output=ComponentOutput(identifier="host", name="host", type_name="'t'"),
+    )
+    res = apply_mappings(df, MappingSet(components=[bad, good]))
+    assert [e["data_source"] for e in res.errors] == ["bad-var"]
+    assert res.components.count() == 1  # good mapping unaffected
+
+
+def test_regex_rekey_uses_first_match_only(spark):
+    """Unanchored pattern: new key is built purely from the first match's
+    expansion (mapping.go ResolveTagMappings re.ExpandString), never
+    keeping unmatched prefix/suffix."""
+    import pyspark.sql.functions as F
+
+    from sts_opentelemetry_collector_spark.config import (
+        ComponentMapping,
+        ComponentOutput,
+        MappingSet,
+        TagMapping,
+    )
+    from sts_opentelemetry_collector_spark.operators.mapping import apply_mappings
+
+    df = spark.createDataFrame([("h1",)], "host string").withColumn(
+        "attrs", F.create_map(F.lit("my_cluster_attr"), F.lit("prod"))
+    )
+    m = ComponentMapping(
+        identifier="rekey",
+        output=ComponentOutput(
+            identifier="host",
+            name="host",
+            type_name="'t'",
+            tags=(TagMapping(target="k8s.${1}", source="attrs", pattern="(cluster)"),),
+        ),
+    )
+    row = apply_mappings(df, MappingSet(components=[m])).components.collect()[0]
+    assert row.tags == {"k8s.cluster": "prod"}
+
+
+def test_null_valued_tags_are_dropped(spark):
+    """A direct tag whose expression evals to null is omitted entirely
+    (the reference skips the tag on eval error, never emits tags[k]=null)."""
+    from sts_opentelemetry_collector_spark.config import (
+        ComponentMapping,
+        ComponentOutput,
+        MappingSet,
+        TagMapping,
+    )
+    from sts_opentelemetry_collector_spark.operators.mapping import apply_mappings
+
+    df = spark.createDataFrame([("h1", None)], "host string, maybe string")
+    m = ComponentMapping(
+        identifier="nulltag",
+        output=ComponentOutput(
+            identifier="host",
+            name="host",
+            type_name="'t'",
+            tags=(
+                TagMapping(target="present", source="'v'"),
+                TagMapping(target="absent", source="maybe"),
+            ),
+        ),
+    )
+    row = apply_mappings(df, MappingSet(components=[m])).components.collect()[0]
+    assert row.tags == {"present": "v"}
+
+
+def test_first_regex_mapping_wins_on_key_collision(spark):
+    """Two regex tag mappings producing the same key: the FIRST configured
+    mapping's value survives (reference iterates in order and skips keys
+    already set)."""
+    import pyspark.sql.functions as F
+
+    from sts_opentelemetry_collector_spark.config import (
+        ComponentMapping,
+        ComponentOutput,
+        MappingSet,
+        TagMapping,
+    )
+    from sts_opentelemetry_collector_spark.operators.mapping import apply_mappings
+
+    df = spark.createDataFrame([("h1",)], "host string").withColumn(
+        "a1", F.create_map(F.lit("cluster"), F.lit("first"))
+    ).withColumn(
+        "a2", F.create_map(F.lit("cluster"), F.lit("second"))
+    )
+    m = ComponentMapping(
+        identifier="collide",
+        output=ComponentOutput(
+            identifier="host",
+            name="host",
+            type_name="'t'",
+            tags=(
+                TagMapping(target="k8s.${1}", source="a1", pattern="^(cluster)$"),
+                TagMapping(target="k8s.${1}", source="a2", pattern="^(cluster)$"),
+            ),
+        ),
+    )
+    row = apply_mappings(df, MappingSet(components=[m])).components.collect()[0]
+    assert row.tags == {"k8s.cluster": "first"}

@@ -24,3 +24,49 @@ def test_upsert_last_writer_wins(spark, tmp_path):
     cat.upsert(v2, "dim", keys=["id"], order_col="v")
     got2 = {r.id: (r.name, r.v) for r in cat.read(spark, "dim").collect()}
     assert got2 == got
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """An upsert must leave untouched buckets' files byte-identical
+    (mtime + contents) — the dynamic-partition-overwrite contract."""
+    import os
+    import time
+
+    cat = SinkCatalog(str(tmp_path))
+    base = spark.createDataFrame(
+        [(i, f"n{i}", i * 10) for i in range(64)], "id long, name string, v long"
+    )
+    cat.upsert(base, "dim", keys=["id"], order_col="v", n_buckets=8)
+
+    root = cat.path("dim")
+    before = {}
+    for d in os.listdir(root):
+        if d.startswith("_bucket="):
+            for f in os.listdir(os.path.join(root, d)):
+                p = os.path.join(root, d, f)
+                before[p] = (os.path.getmtime(p), os.path.getsize(p))
+
+    time.sleep(0.05)
+    single = spark.createDataFrame([(3, "updated", 999)], "id long, name string, v long")
+    cat.upsert(single, "dim", keys=["id"], order_col="v", n_buckets=8)
+
+    # exactly one bucket dir rewritten; all others byte-untouched
+    import pyspark.sql.functions as F
+
+    touched_bucket = single.select(
+        F.pmod(F.xxhash64("id"), F.lit(8)).cast("int").alias("b")
+    ).collect()[0].b
+    untouched_still_there = 0
+    for p, (mt, sz) in before.items():
+        if f"_bucket={touched_bucket}/" in p or p.endswith(f"_bucket={touched_bucket}"):
+            continue
+        assert os.path.exists(p), f"untouched file vanished: {p}"
+        assert os.path.getmtime(p) == mt and os.path.getsize(p) == sz, (
+            f"untouched file modified: {p}"
+        )
+        untouched_still_there += 1
+    assert untouched_still_there > 0
+
+    got = {r.id: (r.name, r.v) for r in cat.read(spark, "dim").collect()}
+    assert got[3] == ("updated", 999)
+    assert len(got) == 64
