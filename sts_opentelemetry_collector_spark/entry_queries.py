@@ -263,24 +263,68 @@ FROM documents GROUP BY 1
 
 
 def q_dedup_ngram_jaccard(spark, sf):
-    """n-gram Jaccard near-dup pairs, lang-blocked."""
+    """n-gram Jaccard near-dup pairs, candidates from MinHash-LSH buckets
+    (never all-pairs — the 100 TB shape); oracle mirrors the bucket
+    restriction."""
     return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
 
 SQL_NGRAM_JACCARD = """
 WITH t AS (
-  SELECT doc_id, lang,
+  SELECT doc_id,
          list_distinct(list_transform(range(1, len(string_split(lower(text),' '))),
                        i -> string_split(lower(text),' ')[i] || ' ' || string_split(lower(text),' ')[i+1])) AS sh
   FROM documents
+), sigs AS (
+  SELECT doc_id, b.band,
+         list_min(list_transform(sh, s -> md5('band' || b.band || ':' || s))) AS bucket
+  FROM t, (SELECT unnest(range(0, 4)) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+)
+SELECT da AS doc_a, db AS doc_b,
+       round(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(ta.sh, tb.sh))), 4) AS jaccard
+FROM cand JOIN t ta ON ta.doc_id = da JOIN t tb ON tb.doc_id = db
+WHERE round(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(ta.sh, tb.sh))), 4) >= 0.5
+"""
+
+
+def q_dedup_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs (Hamming <= 2), banded on 4-bit signature
+    chunks — pigeonhole guarantees completeness, equi-join kills the
+    cartesian."""
+    from .operators.textops import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_t(spark, sf, "documents"), max_hamming=2)
+
+
+def _simhash_pairs_oracle_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(tv, v -> CASE WHEN (v >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(lower(text), ' '),
+                        tok -> ('0x' || substr(md5(tok), 1, 4))::BIGINT) AS tv
+  FROM documents
+), s AS (
+  SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM t
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 """
+
+
+SQL_SIMHASH_PAIRS = _simhash_pairs_oracle_sql()
 
 
 def q_minhash_lsh(spark, sf):
@@ -1003,6 +1047,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "j1_pair_join": q_j1_pair_join,
     "j2_broadcast_enrich": q_j2_broadcast_enrich,
     "j3_enrichment_cascade": q_j3_enrichment_cascade,
@@ -1046,6 +1091,7 @@ ORACLES = {
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_minhash_lsh": SQL_MINHASH_LSH,
     "dedup_simhash": SQL_SIMHASH,
+    "dedup_simhash_pairs": SQL_SIMHASH_PAIRS,
     "j1_pair_join": SQL_J1,
     "j2_broadcast_enrich": SQL_J2,
     "j3_enrichment_cascade": SQL_J3,

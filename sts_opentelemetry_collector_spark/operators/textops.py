@@ -70,33 +70,42 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
-    block_col: str = "lang",
     n: int = 2,
     threshold: float = 0.5,
+    bands: int = 4,
 ) -> DataFrame:
-    """Near-dup candidate pairs by n-gram Jaccard within a blocking key.
-
-    Self-join restricted to the block; Jaccard = |A∩B| / |A∪B| via array
-    HOFs. doc_a < doc_b canonicalizes pairs."""
-    t = docs.select(
-        F.col("doc_id"), F.col(block_col).alias("_block"), shingles_col().alias("sh")
+    """Near-dup pairs by n-gram Jaccard, candidates restricted to
+    MinHash-LSH buckets — the 100 TB-safe shape: pairs are generated ONLY
+    within (band, bucket) groups (equi-join on the bucket key), never
+    all-pairs or coarse-block-pairs. Jaccard = |A∩B| / |A∪B| via array
+    HOFs on the surviving candidates; doc_a < doc_b canonicalizes."""
+    sigs = minhash_signatures(docs, bands)
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"mh_{b}").alias("bucket"))
+            for b in range(bands)
+        ]
     )
-    a = t.alias("a")
-    b = t.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a._block") == F.col("b._block")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    keyed = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_distinct(F.concat(F.col("a.sh"), F.col("b.sh"))))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    candidates = (
+        a.join(b, on=["band", "bucket"])  # shuffle equi-join, bucket-local
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])  # a pair may share several bands
+    )
+    t = docs.select(F.col("doc_id"), shingles_col(n=n).alias("sh"))
+    paired = (
+        candidates.join(t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), on="doc_a")
+        .join(t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), on="doc_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_distinct(F.concat(F.col("sh_a"), F.col("sh_b"))))
     jac = F.round(inter.cast("double") / union, 4)
-    return (
-        joined.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+    return paired.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -187,18 +196,44 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= k (bit_count of xor)."""
+    """Near-dup pairs by SimHash Hamming distance <= k, banded on signature
+    chunks: the 16-bit signature splits into 4 disjoint 4-bit chunks; by
+    pigeonhole, Hamming <= 2 flips at most 2 chunks, so every true pair
+    shares at least one identical chunk — an equi-join on
+    (chunk_idx, chunk_value) finds all of them with NO cartesian.
+    Candidates sharing a chunk are then exact-filtered on bit_count(xor)."""
     s = simhash16(docs)
-    a, b = s.alias("a"), s.alias("b")
+    chunked = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright(F.col("simhash"), 4 * c)
+                        .bitwiseAND(F.lit(0xF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select(
+        "doc_id", "simhash", F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.col("ch.chunk_val").alias("chunk_val"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .where(ham <= max_hamming)
+        a.join(b, on=["chunk_idx", "chunk_val"])
+        .where((F.col("a.doc_id") < F.col("b.doc_id")) & (ham <= max_hamming))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

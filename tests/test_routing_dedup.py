@@ -156,3 +156,22 @@ def test_keyed_repartition_colocates(spark):
         .collect()
     )
     assert all(r.npid == 1 for r in parts)
+
+
+def test_near_dup_plans_have_no_cartesian(spark):
+    """Scale gate: neither near-dup operator may plan a cartesian product /
+    BroadcastNestedLoopJoin — candidates must come from bucket equi-joins."""
+    from sts_opentelemetry_collector_spark.operators.textops import (
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 7} jumps over dog {i % 3}", "en")
+         for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    for op in (ngram_jaccard_pairs, simhash_near_dup_pairs):
+        plan = op(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{op.__name__}: cartesian in plan"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{op.__name__}: BNLJ in plan"
