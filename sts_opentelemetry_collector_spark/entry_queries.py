@@ -886,6 +886,156 @@ FROM counters
 """
 
 
+def _a7_resources(spark, sf):
+    from .operators.topology_derive import resource_attrs_from_events
+
+    return resource_attrs_from_events(_t(spark, sf, "events"))
+
+
+def q_a7_resource_components(spark, sf):
+    """A7: resource-attrs -> component derivation cascade
+    (ststopologyexporter/internal/topology.go:29-198)."""
+    from .operators.topology_derive import derive_components
+
+    return derive_components(_a7_resources(spark, sf))
+
+
+def q_a7_resource_relations(spark, sf):
+    """A7: resource-attrs -> relation derivation (provided-by / executes /
+    kubernetes-to-otel)."""
+    from .operators.topology_derive import derive_relations
+
+    return derive_relations(_a7_resources(spark, sf))
+
+
+_A7_CTE = """
+WITH r AS (
+  SELECT CASE WHEN event_id%11<>0 THEN 'svc-'||CAST(user_id%6 AS VARCHAR) END AS service_name,
+         CASE WHEN event_id%4<>0 THEN 'ns-'||CAST(user_id%3 AS VARCHAR) END AS service_namespace,
+         CASE WHEN event_id%3<>0 THEN 'inst-'||CAST(event_id%20 AS VARCHAR) END AS service_instance_id,
+         CASE WHEN event_id%5<2 THEN 'host-'||CAST(user_id%10 AS VARCHAR) END AS host_id,
+         CASE WHEN event_id%5=2 THEN 'fn-'||CAST(user_id%7 AS VARCHAR) END AS faas_id,
+         CASE WHEN event_id%5=3 THEN 'task-'||CAST(user_id%5 AS VARCHAR) END AS ecs_task_id,
+         CASE WHEN event_id%7<2 THEN 'cl-'||CAST(user_id%2 AS VARCHAR) END AS k8s_cluster,
+         CASE WHEN event_id%7=0 THEN 'kns-'||CAST(user_id%3 AS VARCHAR) END AS k8s_namespace,
+         CASE WHEN event_id%7=0 THEN 'pod-'||CAST(event_id%50 AS VARCHAR) END AS k8s_pod
+  FROM events
+), v AS (
+  SELECT *, COALESCE(service_namespace, 'default') AS ns,
+         COALESCE(service_instance_id, service_name) AS inst_id
+  FROM r WHERE service_name IS NOT NULL
+), w AS (
+  SELECT *,
+    'urn:opentelemetry:namespace/'||ns AS ns_urn,
+    'urn:opentelemetry:namespace/'||ns||':service/'||service_name AS svc_urn,
+    'urn:opentelemetry:namespace/'||ns||':service/'||service_name
+      ||':serviceInstance/'||inst_id AS inst_urn,
+    CASE WHEN service_instance_id IS NOT NULL
+         THEN service_name||' - '||service_instance_id
+         ELSE service_name||' - instance' END AS inst_name,
+    CASE WHEN host_id IS NOT NULL THEN 'urn:opentelemetry:host/'||host_id
+         WHEN faas_id IS NOT NULL THEN 'urn:opentelemetry:function/'||faas_id
+         WHEN ecs_task_id IS NOT NULL THEN 'urn:opentelemetry:task/'||ecs_task_id
+         END AS host_urn,
+    CASE WHEN host_id IS NOT NULL THEN 'host'
+         WHEN faas_id IS NOT NULL THEN 'function'
+         WHEN ecs_task_id IS NOT NULL THEN 'task' END AS host_type,
+    COALESCE(host_id, faas_id, ecs_task_id) AS host_name,
+    CASE WHEN k8s_cluster IS NOT NULL AND k8s_namespace IS NOT NULL
+              AND k8s_pod IS NOT NULL
+         THEN 'urn:opentelemetry:kubernetes:/'||k8s_cluster||':'||k8s_namespace
+              ||':pod/'||k8s_pod END AS pod_urn
+  FROM v
+)
+"""
+
+SQL_A7_COMPONENTS = _A7_CTE + """
+SELECT ns_urn AS external_id, 'namespace' AS type_name, ns AS name FROM w
+UNION
+SELECT svc_urn, 'service', service_name FROM w
+UNION
+SELECT inst_urn, 'service-instance', inst_name FROM w
+UNION
+SELECT host_urn, host_type, host_name FROM w WHERE host_urn IS NOT NULL
+UNION
+SELECT pod_urn, 'pod', k8s_pod FROM w WHERE pod_urn IS NOT NULL
+"""
+
+SQL_A7_RELATIONS = _A7_CTE + """
+SELECT svc_urn||'-'||inst_urn AS external_id, svc_urn AS source_identifier,
+       inst_urn AS target_identifier, 'provided-by' AS type_name FROM w
+UNION
+SELECT host_urn||'-'||inst_urn, host_urn, inst_urn, 'executes'
+FROM w WHERE host_urn IS NOT NULL
+UNION
+SELECT pod_urn||'-'||inst_urn, pod_urn, inst_urn, 'kubernetes-to-otel'
+FROM w WHERE pod_urn IS NOT NULL
+"""
+
+
+def q_k6_intake_groups(spark, sf):
+    """K6/A9: per-API-key grouped, ExternalID-sorted intake payloads
+    (exporter.go:44-54, topology.go:335-355); the order digest pins the
+    canonical ordering cross-engine."""
+    from .operators.intake import intake_payloads
+
+    e = _t(spark, sf, "events")
+    api_key = F.concat(F.lit("key-"), (F.col("user_id") % 4).cast("string"))
+    comps = (
+        e.where(F.col("event_type") == "signup")
+        .select(
+            api_key.alias("api_key"),
+            F.concat(F.lit("urn:event:user/"), F.col("user_id").cast("string"))
+            .alias("external_id"),
+            F.col("user_id").cast("string").alias("name"),
+            F.lit("user").alias("type_name"),
+        )
+    )
+    src = F.concat(F.lit("urn:user/"), F.col("user_id").cast("string"))
+    tgt = F.concat(F.lit("urn:type/"), F.col("event_type"))
+    rels = (
+        e.where(F.col("event_type").isin("purchase", "signup"))
+        .select(
+            api_key.alias("api_key"),
+            F.concat_ws("-", src, tgt).alias("external_id"),
+            src.alias("source_identifier"),
+            tgt.alias("target_identifier"),
+            F.lit("emits").alias("type_name"),
+        )
+    )
+    return intake_payloads(comps, rels).select(
+        "api_key", "n_components", "n_relations",
+        "components_order_digest", "relations_order_digest",
+    )
+
+
+SQL_K6 = """
+WITH c AS (
+  SELECT DISTINCT 'key-'||CAST(user_id%4 AS VARCHAR) AS api_key,
+         'urn:event:user/'||CAST(user_id AS VARCHAR) AS external_id
+  FROM events WHERE event_type = 'signup'
+), r AS (
+  SELECT DISTINCT 'key-'||CAST(user_id%4 AS VARCHAR) AS api_key,
+         'urn:user/'||CAST(user_id AS VARCHAR)||'-urn:type/'||event_type AS external_id
+  FROM events WHERE event_type IN ('purchase', 'signup')
+), cg AS (
+  SELECT api_key, COUNT(*) AS n_components,
+         md5(string_agg(external_id, ',' ORDER BY external_id)) AS cd
+  FROM c GROUP BY api_key
+), rg AS (
+  SELECT api_key, COUNT(*) AS n_relations,
+         md5(string_agg(external_id, ',' ORDER BY external_id)) AS rd
+  FROM r GROUP BY api_key
+)
+SELECT COALESCE(cg.api_key, rg.api_key) AS api_key,
+       CAST(COALESCE(n_components, 0) AS INT) AS n_components,
+       CAST(COALESCE(n_relations, 0) AS INT) AS n_relations,
+       COALESCE(cd, md5('')) AS components_order_digest,
+       COALESCE(rd, md5('')) AS relations_order_digest
+FROM cg FULL OUTER JOIN rg ON cg.api_key = rg.api_key
+"""
+
+
 def q_lang_id(spark, sf):
     return language_id(_t(spark, sf, "documents"))
 
@@ -1066,6 +1216,9 @@ QUERIES = {
     "tpch_q3_agg": q_tpch_q3_agg,
     "sg_edge_metrics": q_sg_edge_metrics,
     "sg_relations": q_sg_relations,
+    "a7_resource_components": q_a7_resource_components,
+    "a7_resource_relations": q_a7_resource_relations,
+    "k6_intake_groups": q_k6_intake_groups,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
@@ -1104,6 +1257,9 @@ ORACLES = {
     "r3_fanout_counts": SQL_R3,
     "sg_edge_metrics": SQL_SG_EDGE_METRICS,
     "sg_relations": SQL_SG_RELATIONS,
+    "a7_resource_components": SQL_A7_COMPONENTS,
+    "a7_resource_relations": SQL_A7_RELATIONS,
+    "k6_intake_groups": SQL_K6,
     "s3_cdc_diff": SQL_S3,
     "p16_auth_quarantine": SQL_P16,
     "a6_envelope_split": SQL_A6_SPLIT,

@@ -62,6 +62,8 @@ def run_pipeline(
     n_lineage_buckets: int = 32,
     max_partitions_this_run: int | None = None,
     rollup_window: str = "1 hour",
+    api_keys: dict[str, str] | None = None,
+    default_api_key: str = "default-key",
 ) -> dict:
     """Run (or resume) the pipeline. Returns a summary dict with per-sink
     routed-row counts, telemetry, and timing."""
@@ -173,6 +175,88 @@ def run_pipeline(
     _mark("relations_write")
     _write(deletes, "topology_deletes")
     _mark("deletes_write")
+
+    # ---- A6 + R6 + K6 + metadata run off ONE unified element stream.
+    # Topology elements are dimension-scale (bounded by the mapped entity
+    # universe, not the page count), so reading the just-landed sinks back
+    # is a pruned scan over tiny tables — no recompute of the page scan.
+    comp_back = sinks.read(spark, "topology_components")
+    rel_back = sinks.read(spark, "topology_relations")
+    elements = comp_back.select(
+        "data_source", "shard_id", "external_id",
+        F.to_json(F.struct("external_id", "name", "type_name")).alias("payload"),
+    ).unionByName(
+        rel_back.select(
+            "data_source", "shard_id", "external_id",
+            F.to_json(
+                F.struct("external_id", "source_identifier", "target_identifier",
+                         "type_name")
+            ).alias("payload"),
+        )
+    ).dropDuplicates(["data_source", "shard_id", "external_id"])
+    # ^ collection-map semantics: keyed by external_id per stream, so a
+    # resumed run re-reading appended sinks stays idempotent.
+
+    # A6: size-capped envelope coalescing before the keyed stream write
+    # (message_builder.go:194-257, 768 KiB cap :162-171). collection_ts is
+    # the run id — one collection per snapshot application, as in the
+    # reference's per-batch envelope builder.
+    from ..operators.aggregate import coalesce_envelopes
+
+    envelopes = coalesce_envelopes(
+        elements.withColumn("collection_ts", F.lit(run_id)),
+        key_cols=["data_source", "shard_id"],
+        ts_col="collection_ts",
+        payload_col="payload",
+    )
+    _write(envelopes, "topology_envelopes")
+    _mark("envelopes_write")
+
+    # R6: stream lifecycle — first-seen (data_source, shard_id) pairs vs
+    # the persisted known-streams state (topology_stream_publisher.go:96-143)
+    from ..operators.routing import new_streams
+
+    known = (
+        sinks.read(spark, "known_streams")
+        if sinks.exists("known_streams")
+        else None
+    )
+    first_seen = new_streams(elements, known).withColumn("run_id", F.lit(run_id))
+    fs_obs = Observation(f"first_seen_{run_id}")
+    sinks.append(
+        first_seen.observe(fs_obs, F.count(F.lit(1)).alias("n")),
+        "known_streams",
+        partition_by=None,
+    )
+    sink_counts["new_streams"] = fs_obs.get["n"]
+
+    # K6/A9: per-API-key grouped, ExternalID-sorted intake write
+    # (exporter.go:44-54, topology.go:335-355). api key resolves from the
+    # data_source -> key settings dict (sts_api_key resource attr analog).
+    from ..operators.intake import write_intake
+
+    key_pairs: list = []
+    for ds, key in sorted((api_keys or {}).items()):
+        key_pairs += [F.lit(ds), F.lit(key)]
+    key_map = F.create_map(*key_pairs) if key_pairs else None
+    api_key = (
+        F.coalesce(key_map[F.col("data_source")], F.lit(default_api_key))
+        if key_map is not None
+        else F.lit(default_api_key)
+    )
+    intake_elements = elements.withColumn("api_key", api_key).drop("payload")
+    write_intake(intake_elements, sinks.path("topology_intake"))
+    sink_counts["topology_intake"] = (
+        sink_counts["topology_components"] + sink_counts["topology_relations"]
+    )
+    _mark("intake_write")
+
+    # Metadata publisher analog (metadata_publisher.go:48-129): compacted
+    # snapshot of live mappings, tombstones for removed ones.
+    from ..operators.metadata import metadata_tombstones, stream_metadata
+
+    sinks.overwrite(stream_metadata(spark, mappings), "stream_metadata",
+                    partition_by=None)
     _write(
         compiled.record_errors.groupBy("data_source", "signal", "error").agg(
             F.count(F.lit(1)).alias("error_count")
@@ -186,7 +270,14 @@ def run_pipeline(
     removed = diff_settings(previous_mappings, mappings) if previous_mappings else []
     if removed:
         sinks.append(removal_tombstones(spark, removed), "tombstones", partition_by=None)
+        # metadata tombstones ride the same removal event
+        # (metadata_publisher.go PublishTombstones)
+        sinks.append(
+            metadata_tombstones(spark, removed), "metadata_tombstones",
+            partition_by=None,
+        )
     sink_counts["tombstones"] = 4 * len(removed)
+    sink_counts["metadata_tombstones"] = len(removed)
 
     # ---- windowed telemetry rollup (host, warc_ts bucket), salted for skew.
     # Recomputed from the logs sink (all completed partitions), overwritten:

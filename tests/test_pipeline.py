@@ -151,3 +151,71 @@ def test_tombstones_on_mapping_removal(spark, webtext_dir, tmp_path):
     tombs = sinks.read(spark, "tombstones")
     assert tombs.count() == 4  # one per shard (R5)
     assert tombs.select("data_source").distinct().first()[0] == removed_id
+
+
+def test_envelopes_streams_intake_metadata_sinks(spark, webtext_dir, tmp_path):
+    """A6/R6/K6/metadata wiring: the flagship run lands envelope groups,
+    first-seen streams, a per-key sorted intake, and the mapping-metadata
+    snapshot."""
+    out = str(tmp_path / "wired")
+    summary = run_pipeline(
+        spark, _webtext_path(webtext_dir), out, n_lineage_buckets=4,
+        api_keys={"page-service": "key-prod"},
+    )
+    sc = summary["sink_counts"]
+    sinks = SinkCatalog(os.path.join(out, "sinks"))
+
+    # A6: every (data_source, shard) stream coalesced into >=1 envelope;
+    # element mass preserved
+    env = sinks.read(spark, "topology_envelopes")
+    assert sc["topology_envelopes"] == env.count() > 0
+    total_elements = env.agg(F.sum("element_count")).first()[0]
+    assert total_elements == sc["topology_components"] + sc["topology_relations"]
+
+    # R6: first run sees every stream as new; second run over the same
+    # input sees none
+    ks = sinks.read(spark, "known_streams")
+    assert sc["new_streams"] == ks.count() > 0
+    summary2 = run_pipeline(
+        spark, _webtext_path(webtext_dir), out, n_lineage_buckets=4,
+        api_keys={"page-service": "key-prod"},
+    )
+    assert summary2.get("skipped") or summary2["sink_counts"]["new_streams"] == 0
+
+    # K6/A9: intake partitioned per api key, rows sorted by external_id
+    # within each file (canonical POST-body order)
+    intake_root = sinks.path("topology_intake")
+    key_dirs = [d for d in os.listdir(intake_root) if d.startswith("api_key=")]
+    assert "api_key=key-prod" in key_dirs and "api_key=default-key" in key_dirs
+    import pyarrow.parquet as pq
+
+    for kd in key_dirs:
+        for f in os.listdir(os.path.join(intake_root, kd)):
+            if not f.endswith(".parquet"):
+                continue
+            ids = pq.read_table(
+                os.path.join(intake_root, kd, f), columns=["external_id"]
+            )["external_id"].to_pylist()
+            assert ids == sorted(ids), f"unsorted intake file {kd}/{f}"
+
+    # metadata: one record per live mapping
+    meta = sinks.read(spark, "stream_metadata")
+    assert meta.count() == len(
+        default_mappings().components + default_mappings().relations
+    )
+
+
+def test_metadata_tombstones_on_removal(spark, webtext_dir, tmp_path):
+    out = str(tmp_path / "meta_ts")
+    prev = default_mappings()
+    cur = default_mappings()
+    removed_id = cur.components[-1].identifier
+    cur.components = cur.components[:-1]
+    summary = run_pipeline(
+        spark, _webtext_path(webtext_dir), out,
+        mappings=cur, previous_mappings=prev, n_lineage_buckets=4,
+    )
+    assert summary["sink_counts"]["metadata_tombstones"] == 1
+    sinks = SinkCatalog(os.path.join(out, "sinks"))
+    ts = sinks.read(spark, "metadata_tombstones").collect()
+    assert [r.data_source for r in ts] == [removed_id]
