@@ -1036,6 +1036,95 @@ FROM cg FULL OUTER JOIN rg ON cg.api_key = rg.api_key
 """
 
 
+def q_k3_traces_sink(spark, sf):
+    """K3: complete ClickHouse traces sink shape — events/links Nested
+    arrays + content-addressed ResourceRef (exporter_traces.go:104-178,
+    DDL :214-249). Arrays are digest-projected for cross-engine hashing:
+    failed spans carry one 'exception' event; producer spans one link."""
+    from .operators.exporters import EVENT_STRUCT, LINK_STRUCT, traces_table
+    from .sources.spans import spans_from_events
+
+    spans = spans_from_events(_t(spark, sf, "events"))
+    spans = spans.withColumn(
+        "events",
+        F.when(
+            F.col("failed"),
+            F.array(
+                F.struct(
+                    F.col("end_ts").alias("ts"), F.lit("exception").alias("name")
+                )
+            ),
+        ).cast(EVENT_STRUCT),
+    ).withColumn(
+        "links",
+        F.when(
+            F.col("kind") == "PRODUCER",
+            F.array(
+                F.struct(
+                    F.col("trace_id").alias("trace_id"),
+                    F.lit("").alias("span_id"),
+                    F.lit("sampled").alias("trace_state"),
+                )
+            ),
+        ).cast(LINK_STRUCT),
+    )
+    t = traces_table(spans)
+    return t.select(
+        "resource_ref", "trace_id", "span_id", "parent_span_id", "span_kind",
+        "service_name", "duration_ns", "status_code", "span_parent_type",
+        F.size("events_name").alias("n_events"),
+        F.md5(F.concat_ws("|", "events_name")).alias("events_digest"),
+        F.size("links_trace_id").alias("n_links"),
+        F.md5(F.concat_ws("|", "links_trace_id", "links_trace_state")).alias(
+            "links_digest"
+        ),
+    )
+
+
+SQL_K3 = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         (CAST(floor(value*10) AS BIGINT) % 2000) AS lat_ms,
+         (event_type='purchase' AND event_id%10<2) AS is_db,
+         (event_type='click' AND event_id%5=0) AS is_unmatched,
+         (event_type='signup') AS is_async,
+         (event_type='error' AND event_id%2=0) AS cfail,
+         (event_type='error' AND event_id%3=0) AS sfail,
+         list_value('frontend','checkout','payments','cart','shipping','auth') AS s
+  FROM events
+), spans AS (
+  SELECT CAST(event_id AS VARCHAR) AS trace_id,
+         'c-'||CAST(event_id AS VARCHAR) AS span_id,
+         '' AS parent_span_id,
+         CASE WHEN is_async THEN 'PRODUCER' ELSE 'CLIENT' END AS kind,
+         s[CAST(user_id%6 AS INT)+1] AS service,
+         0.0 AS start_ts, lat_ms/1000.0 AS end_ts, cfail AS failed
+  FROM e
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR),
+         's-'||CAST(event_id AS VARCHAR),
+         'c-'||CAST(event_id AS VARCHAR),
+         CASE WHEN is_async THEN 'CONSUMER' ELSE 'SERVER' END,
+         s[CAST((user_id+1+event_id%3)%6 AS INT)+1],
+         0.0, lat_ms/2000.0, sfail
+  FROM e WHERE NOT is_db AND NOT is_unmatched
+)
+SELECT md5(service) AS resource_ref, trace_id, span_id, parent_span_id,
+       kind AS span_kind, service AS service_name,
+       CAST(floor((end_ts - start_ts) * 1e9) AS BIGINT) AS duration_ns,
+       CASE WHEN failed THEN 'Error' ELSE 'Unset' END AS status_code,
+       CASE WHEN parent_span_id = '' THEN 'ROOT'
+            WHEN kind IN ('SERVER','CONSUMER') THEN 'EXTERNAL'
+            ELSE 'INTERNAL' END AS span_parent_type,
+       CAST(CASE WHEN failed THEN 1 ELSE 0 END AS INT) AS n_events,
+       md5(CASE WHEN failed THEN 'exception' ELSE '' END) AS events_digest,
+       CAST(CASE WHEN kind = 'PRODUCER' THEN 1 ELSE 0 END AS INT) AS n_links,
+       md5(CASE WHEN kind = 'PRODUCER' THEN trace_id||'|sampled' ELSE '' END)
+         AS links_digest
+FROM spans
+"""
+
+
 def q_lang_id(spark, sf):
     return language_id(_t(spark, sf, "documents"))
 
@@ -1219,6 +1308,7 @@ QUERIES = {
     "a7_resource_components": q_a7_resource_components,
     "a7_resource_relations": q_a7_resource_relations,
     "k6_intake_groups": q_k6_intake_groups,
+    "k3_traces_sink": q_k3_traces_sink,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
@@ -1260,6 +1350,7 @@ ORACLES = {
     "a7_resource_components": SQL_A7_COMPONENTS,
     "a7_resource_relations": SQL_A7_RELATIONS,
     "k6_intake_groups": SQL_K6,
+    "k3_traces_sink": SQL_K3,
     "s3_cdc_diff": SQL_S3,
     "p16_auth_quarantine": SQL_P16,
     "a6_envelope_split": SQL_A6_SPLIT,

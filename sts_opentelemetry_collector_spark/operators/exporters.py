@@ -85,3 +85,47 @@ def logs_table(pages: DataFrame) -> DataFrame:
         F.col("host").alias("service_name"),
         F.to_date("warc_ts").alias("ds"),
     )
+
+
+# K3 complete traces sink shape (exporter_traces.go:104-178; DDL :214-249):
+# events and links land as ClickHouse-Nested parallel arrays
+# (Events.Timestamp/Name, Links.TraceId/SpanId/TraceState) and every span
+# carries the content-addressed ResourceRef FK into the resources dim
+# (NewResourceModel -> resourceRef; md5 of resource content here keeps the
+# ref oracle-checkable cross-engine).
+
+EVENT_STRUCT = "array<struct<ts:double,name:string>>"
+LINK_STRUCT = "array<struct<trace_id:string,span_id:string,trace_state:string>>"
+
+
+def traces_table(spans: DataFrame) -> DataFrame:
+    """Full traces sink projection. Input: span columns (trace_id, span_id,
+    parent_span_id, kind, service, start_ts, end_ts, failed) plus optional
+    `events` / `links` array-of-struct columns (absent or null => empty)."""
+    s = spans
+    if "events" not in s.columns:
+        s = s.withColumn("events", F.lit(None).cast(EVENT_STRUCT))
+    if "links" not in s.columns:
+        s = s.withColumn("links", F.lit(None).cast(LINK_STRUCT))
+    events = F.coalesce(F.col("events"), F.lit([]).cast(EVENT_STRUCT))
+    links = F.coalesce(F.col("links"), F.lit([]).cast(LINK_STRUCT))
+    return with_span_parent_type(s).select(
+        F.col("start_ts").alias("timestamp"),
+        F.md5(F.col("service")).alias("resource_ref"),
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        F.lower(F.col("kind")).alias("span_name"),
+        F.col("kind").alias("span_kind"),
+        F.col("service").alias("service_name"),
+        F.floor((F.col("end_ts") - F.col("start_ts")) * F.lit(1e9))
+        .cast("long")
+        .alias("duration_ns"),
+        F.when(F.col("failed"), "Error").otherwise("Unset").alias("status_code"),
+        "span_parent_type",
+        F.transform(events, lambda e: e["ts"]).alias("events_ts"),
+        F.transform(events, lambda e: e["name"]).alias("events_name"),
+        F.transform(links, lambda l: l["trace_id"]).alias("links_trace_id"),
+        F.transform(links, lambda l: l["span_id"]).alias("links_span_id"),
+        F.transform(links, lambda l: l["trace_state"]).alias("links_trace_state"),
+    )

@@ -82,3 +82,41 @@ def test_service_graph_over_generated_spans(spark):
     spans = with_span_parent_type(spans_df(spark, 100))
     kinds = {r.span_parent_type for r in spans.select("span_parent_type").distinct().collect()}
     assert "ROOT" in kinds and "EXTERNAL" in kinds
+
+
+def test_traces_table_nested_arrays_and_resource_ref(spark):
+    """K3: events/links land as parallel arrays (ClickHouse Nested layout)
+    and every span's resource_ref joins the content-addressed dim."""
+    import pyspark.sql.functions as F
+
+    from sts_opentelemetry_collector_spark.operators.exporters import (
+        EVENT_STRUCT,
+        LINK_STRUCT,
+        traces_table,
+    )
+
+    spans = spark.createDataFrame(
+        [
+            ("t1", "a", "", "CLIENT", "svc-a", 0.0, 0.5, True),
+            ("t1", "b", "a", "SERVER", "svc-b", 0.0, 0.2, False),
+        ],
+        "trace_id string, span_id string, parent_span_id string, kind string,"
+        "service string, start_ts double, end_ts double, failed boolean",
+    ).withColumn(
+        "events",
+        F.when(
+            F.col("failed"),
+            F.array(F.struct(F.col("end_ts").alias("ts"), F.lit("exception").alias("name"))),
+        ).cast(EVENT_STRUCT),
+    )
+    t = traces_table(spans).orderBy("span_id")
+    rows = t.collect()
+    assert [len(r.events_ts) for r in rows] == [len(r.events_name) for r in rows]
+    assert rows[0].events_name == ["exception"] and rows[1].events_name == []
+    assert rows[0].links_trace_id == []  # absent links column => empty, not null
+    assert rows[0].duration_ns == 500_000_000
+    assert rows[0].span_parent_type == "ROOT"
+    assert rows[1].span_parent_type == "EXTERNAL"
+    # resource_ref is content-addressed: same service => same ref
+    refs = {r.service_name: r.resource_ref for r in rows}
+    assert len(set(refs.values())) == 2
