@@ -5,9 +5,10 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": <total sec>, "unit": "sec",
  "queries": {name: sec}, "sf": ..., "pages_per_sec": ...}
 
-Quadratic all-pairs ops (ngram_jaccard, embedding_near_dup) are
-correctness-gated at sf0.01 but excluded from the bench set — their scale
-path is the LSH variants benched here.
+embedding_near_dup (label-blocked pairs) is correctness-gated at sf0.01
+but excluded from the bench set — its scale path is the LSH variants
+benched here. ngram_jaccard and simhash_pairs ARE benched: both are
+LSH/band-restricted (no all-pairs anywhere in the bench set).
 """
 
 from __future__ import annotations
@@ -53,6 +54,14 @@ BENCH_QUERIES = [
     "set_ops",
     "tpch_q3_agg",
     "sg_edge_metrics",
+    "sg_relations",
+    "r1_shard_routing",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "a7_resource_components",
+    "a7_resource_relations",
+    "k6_intake_groups",
+    "k3_traces_sink",
 ]
 
 

@@ -276,8 +276,17 @@ WITH t AS (
                        i -> string_split(lower(text),' ')[i] || ' ' || string_split(lower(text),' ')[i+1])) AS sh
   FROM documents
 ), sigs AS (
+  -- r=2 rows/band: chunks 2b and 2b+1; chunks 0-3 slice md5(s),
+  -- chunks 4-7 slice md5('r2:'||s); band value = concat of the two minima
   SELECT doc_id, b.band,
-         list_min(list_transform(sh, s -> md5('band' || b.band || ':' || s))) AS bucket
+         list_min(list_transform(sh, s -> CASE WHEN 2*b.band < 4
+             THEN substr(md5(s), 1 + 8*CAST(2*b.band AS INT), 8)
+             ELSE substr(md5('r2:'||s), 1 + 8*CAST(2*b.band - 4 AS INT), 8) END))
+         ||
+         list_min(list_transform(sh, s -> CASE WHEN 2*b.band + 1 < 4
+             THEN substr(md5(s), 1 + 8*CAST(2*b.band + 1 AS INT), 8)
+             ELSE substr(md5('r2:'||s), 1 + 8*CAST(2*b.band - 3 AS INT), 8) END))
+         AS bucket
   FROM t, (SELECT unnest(range(0, 4)) AS band) b
 ), cand AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
@@ -335,12 +344,14 @@ def q_minhash_lsh(spark, sf):
 SQL_MINHASH_LSH = """
 WITH t AS (
   SELECT doc_id,
-         list_distinct(list_transform(range(1, len(string_split(lower(text),' '))),
-                       i -> string_split(lower(text),' ')[i] || ' ' || string_split(lower(text),' ')[i+1])) AS sh
+         list_transform(
+           list_distinct(list_transform(range(1, len(string_split(lower(text),' '))),
+                         i -> string_split(lower(text),' ')[i] || ' ' || string_split(lower(text),' ')[i+1])),
+           s -> md5(s)) AS hs
   FROM documents
 ), sigs AS (
   SELECT doc_id, b.band,
-         list_min(list_transform(sh, s -> md5('band' || b.band || ':' || s))) AS bucket
+         list_min(list_transform(hs, h -> substr(h, 1 + 8*CAST(b.band AS INT), 8))) AS bucket
   FROM t, (SELECT unnest(range(0, 4)) AS band) b
 )
 SELECT band, bucket, COUNT(*) AS bucket_size, MIN(doc_id) AS min_doc_id

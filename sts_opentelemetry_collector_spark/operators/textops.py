@@ -77,9 +77,13 @@ def ngram_jaccard_pairs(
     """Near-dup pairs by n-gram Jaccard, candidates restricted to
     MinHash-LSH buckets — the 100 TB-safe shape: pairs are generated ONLY
     within (band, bucket) groups (equi-join on the bucket key), never
-    all-pairs or coarse-block-pairs. Jaccard = |A∩B| / |A∪B| via array
-    HOFs on the surviving candidates; doc_a < doc_b canonicalizes."""
-    sigs = minhash_signatures(docs, bands)
+    all-pairs or coarse-block-pairs. r=2 rows per band keeps buckets tight
+    (collision prob J^2) so candidate volume tracks true near-dup density;
+    recall at J=0.5 is 1-(1-J^2)^4 ~ 0.68, rising steeply with J (0.98 at
+    J=0.8) — the standard LSH knob, tune (bands, rows) per corpus.
+    Jaccard = |A∩B| / |A∪B| via array HOFs on the surviving candidates;
+    doc_a < doc_b canonicalizes."""
+    sigs = minhash_signatures(docs, bands, rows_per_band=2)
     band_structs = F.array(
         *[
             F.struct(F.lit(b).alias("band"), F.col(f"mh_{b}").alias("bucket"))
@@ -96,7 +100,20 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])  # a pair may share several bands
     )
-    t = docs.select(F.col("doc_id"), shingles_col(n=n).alias("sh"))
+    # compute shingles ONLY for docs that appear in a candidate pair: the
+    # broadcast semi-join prunes rows before the (expensive) shingle
+    # projection runs — candidates are a tiny fraction of the corpus
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # Jaccard over RAW shingles: word bigrams are shorter than md5 digests,
+    # so intersect/union on them moves less data than on hashes.
+    t = (
+        docs.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
+        .select(F.col("doc_id"), shingles_col(n=n).alias("sh"))
+    )
     paired = (
         candidates.join(t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), on="doc_a")
         .join(t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), on="doc_b")
@@ -118,25 +135,49 @@ def spread(docs: DataFrame) -> DataFrame:
     return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
 
-def minhash_signatures(docs: DataFrame, bands: int = 4) -> DataFrame:
-    """MinHash signature: per band b, min(md5(band_salt || shingle)).
-
+def minhash_signatures(docs: DataFrame, bands: int = 4, rows_per_band: int = 1) -> DataFrame:
+    """MinHash signature, b bands x r rows: each row-hash is one 8-hex-char
+    (32-bit) chunk of md5; chunks 0-3 slice md5(s), chunks 4-7 slice
+    md5('r2:'||s) — disjoint slices of a cryptographic hash are independent
+    hash functions, so r*b hashes cost ceil(r*b/4) md5 passes, not r*b.
+    Band value = concat of its r row-minima: P(bucket collision) = J^r,
+    the standard LSH false-positive knob (r=1 floods buckets via common
+    shingles on templated corpora; r=2 squares that probability away).
     One column per band (mh_0..mh_{bands-1}); md5 keeps the oracle
-    bit-compatible. Row-local computation — zero shuffle."""
+    bit-compatible. Row-local — zero shuffle."""
+    n_chunks = bands * rows_per_band
+    if n_chunks > 8:
+        raise ValueError("bands*rows_per_band <= 8")
     sh = shingles_col()
-    out = spread(docs).select("doc_id", sh.alias("sh"))
+    # materialize each md5 pass ONCE as its own array column: the chunk
+    # minima below each reference it via substring, and CollapseProject
+    # keeps a multiply-referenced expensive alias materialized instead of
+    # inlining the md5 into every consumer — 2 hash passes, not 8.
+    # (NB: HOF lambdas must be single-arg — a second (default) parameter is
+    # interpreted by PySpark as the element-index argument.)
+    out = spread(docs).select(
+        "doc_id",
+        F.transform(sh, lambda s: F.md5(s)).alias("_h1"),
+        *(
+            [F.transform(sh, lambda s: F.md5(F.concat(F.lit("r2:"), s))).alias("_h2")]
+            if n_chunks > 4
+            else []
+        ),
+    )
 
-    # NB: HOF lambdas must be single-arg — a second (default) parameter is
-    # interpreted by PySpark as the element-index argument.
-    def band_hasher(b: int):
-        salt = f"band{b}:"
-        return lambda s: F.md5(F.concat(F.lit(salt), s))
+    def chunk_min(c: int):
+        src = "_h1" if c < 4 else "_h2"
+        off = c % 4
+        return F.array_min(
+            F.transform(F.col(src), lambda h: F.substring(h, 1 + 8 * off, 8))
+        )
 
     for b in range(bands):
+        mins = [chunk_min(b * rows_per_band + r) for r in range(rows_per_band)]
         out = out.withColumn(
-            f"mh_{b}", F.array_min(F.transform(F.col("sh"), band_hasher(b)))
+            f"mh_{b}", mins[0] if rows_per_band == 1 else F.concat_ws("", *mins)
         )
-    return out.drop("sh")
+    return out.drop("_h1", "_h2") if n_chunks > 4 else out.drop("_h1")
 
 
 def minhash_lsh_buckets(docs: DataFrame, bands: int = 4) -> DataFrame:

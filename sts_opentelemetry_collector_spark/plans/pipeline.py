@@ -252,11 +252,17 @@ def run_pipeline(
     _mark("intake_write")
 
     # Metadata publisher analog (metadata_publisher.go:48-129): compacted
-    # snapshot of live mappings, tombstones for removed ones.
+    # snapshot of live mappings, tombstones for removed ones. Snapshot-
+    # change gate (cache.go:129-182): an unchanged snapshot skips the
+    # republish — deep equality, not identity.
     from ..operators.metadata import metadata_tombstones, stream_metadata
+    from ..sources.settings import snapshot_changed
 
-    sinks.overwrite(stream_metadata(spark, mappings), "stream_metadata",
-                    partition_by=None)
+    if snapshot_changed(previous_mappings, mappings) or not sinks.exists(
+        "stream_metadata"
+    ):
+        sinks.overwrite(stream_metadata(spark, mappings), "stream_metadata",
+                        partition_by=None)
     _write(
         compiled.record_errors.groupBy("data_source", "signal", "error").agg(
             F.count(F.lit(1)).alias("error_count")

@@ -180,6 +180,22 @@ def diff_settings(previous: MappingSet, current: MappingSet) -> list[str]:
     return sorted(prev_ids - cur_ids)
 
 
+def snapshot_changed(previous: MappingSet | None, current: MappingSet) -> bool:
+    """Snapshot-update gate (internal/core/cache.go:129-182): listeners are
+    notified only when the snapshot actually changed — version bump OR deep
+    inequality of the mapping contents. Mappings are frozen dataclasses, so
+    tuple equality IS deep equality; repeated identical snapshots
+    short-circuit (no metadata republish, no recompile)."""
+    if previous is None:
+        return True
+    if current.version != previous.version:
+        return True
+    return (
+        tuple(current.components) != tuple(previous.components)
+        or tuple(current.relations) != tuple(previous.relations)
+    )
+
+
 def save_mapping_set(ms: MappingSet, path: str) -> None:
     """Persist a snapshot manifest (what ran) for the next run's diff."""
     doc = {

@@ -40,3 +40,22 @@ def test_load_and_apply_file_snapshot(spark, webtext):
 def test_snapshot_diff_v1_to_v2():
     removed = diff_settings(default_mappings(), load_mapping_set(FIXTURE))
     assert removed == ["archived-page-delete", "page-host"]
+
+
+def test_snapshot_changed_deep_equality():
+    """cache.go:129-182 analog: unchanged snapshots short-circuit; version
+    bumps and content edits register as changes."""
+    from sts_opentelemetry_collector_spark.sources.settings import (
+        default_mappings,
+        snapshot_changed,
+    )
+
+    a = default_mappings()
+    b = default_mappings()  # distinct objects, same content
+    assert snapshot_changed(None, a)
+    assert not snapshot_changed(a, b)
+    b.version += 1
+    assert snapshot_changed(a, b)
+    c = default_mappings()
+    c.components = c.components[:-1]
+    assert snapshot_changed(a, c)
