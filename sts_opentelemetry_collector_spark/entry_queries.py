@@ -1136,6 +1136,79 @@ FROM spans
 """
 
 
+def q_p14_ottl_transform(spark, sf):
+    """P14: OTTL set/delete_key statements over an attrs map
+    (transform-processor analog, telemetry-gateway.yaml:31-45) — applied
+    in order, `where`-gated, nulls keep keys absent."""
+    from .operators.ottl import apply_ottl
+
+    e = _t(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.map_from_arrays(
+            F.array(F.lit("k"), F.lit("type")),
+            F.array(
+                F.get_json_object("props", "$.k"),
+                F.col("event_type"),
+            ),
+        ).alias("attrs"),
+    )
+    out = apply_ottl(
+        e,
+        [
+            'set(attrs["env"], case when value > 100 then \'hot\' end)',
+            'delete_key(attrs, "k") where event_type = \'click\'',
+        ],
+    )
+    return out.select(
+        "event_id",
+        F.size("attrs").alias("n_attrs"),
+        F.col("attrs").getItem("env").alias("env"),
+        F.col("attrs").getItem("k").alias("k_attr"),
+    )
+
+
+SQL_P14 = """
+SELECT event_id,
+       CAST(1 + (CASE WHEN event_type = 'click' THEN 0 ELSE 1 END)
+              + (CASE WHEN value > 100 THEN 1 ELSE 0 END) AS INT) AS n_attrs,
+       CASE WHEN value > 100 THEN 'hot' END AS env,
+       CASE WHEN event_type = 'click' THEN NULL
+            ELSE json_extract_string(props, '$.k') END AS k_attr
+FROM events
+"""
+
+
+def q_r4_topic_override(spark, sf):
+    """R4: per-record topic override via the stskafka.topic attr
+    (stskafkaexporter/exporter.go:22-27, :182-184)."""
+    from .operators.routing import with_topic
+
+    e = _t(spark, sf, "events").select(
+        "event_id",
+        F.when(
+            F.col("event_type") == "error",
+            F.create_map(F.lit("stskafka.topic"), F.lit("sts_internal_errors")),
+        )
+        .otherwise(F.create_map().cast("map<string,string>"))
+        .alias("attrs"),
+    )
+    return (
+        with_topic(e, default_topic="sts_topology")
+        .groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_R4 = """
+SELECT CASE WHEN event_type = 'error' THEN 'sts_internal_errors'
+            ELSE 'sts_topology' END AS topic,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
 def q_lang_id(spark, sf):
     return language_id(_t(spark, sf, "documents"))
 
@@ -1320,6 +1393,8 @@ QUERIES = {
     "a7_resource_relations": q_a7_resource_relations,
     "k6_intake_groups": q_k6_intake_groups,
     "k3_traces_sink": q_k3_traces_sink,
+    "p14_ottl_transform": q_p14_ottl_transform,
+    "r4_topic_override": q_r4_topic_override,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
@@ -1362,6 +1437,8 @@ ORACLES = {
     "a7_resource_relations": SQL_A7_RELATIONS,
     "k6_intake_groups": SQL_K6,
     "k3_traces_sink": SQL_K3,
+    "p14_ottl_transform": SQL_P14,
+    "r4_topic_override": SQL_R4,
     "s3_cdc_diff": SQL_S3,
     "p16_auth_quarantine": SQL_P16,
     "a6_envelope_split": SQL_A6_SPLIT,

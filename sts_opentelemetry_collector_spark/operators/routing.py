@@ -95,3 +95,26 @@ def new_streams(
         on=["data_source", "shard_id"],
         how="left_anti",
     )
+
+
+# R4: per-record topic override (stskafkaexporter/exporter.go:22-27,
+# :182-184): a record whose attrs carry `stskafka.topic` publishes to that
+# topic instead of the pipeline default — the topology connector routes
+# metadata messages onto the compacted metadata topic through the same
+# exporter this way.
+
+KAFKA_TOPIC_ATTR = "stskafka.topic"
+
+
+def with_topic(
+    df: DataFrame, default_topic: str, attrs_col: str = "attrs"
+) -> DataFrame:
+    """Resolve each record's destination topic: explicit attr override
+    wins, else the configured default. Downstream sinks partition by
+    `topic` — the Kafka produce-call analog."""
+    return df.withColumn(
+        "topic",
+        F.coalesce(
+            F.col(attrs_col).getItem(KAFKA_TOPIC_ATTR), F.lit(default_topic)
+        ),
+    )
