@@ -1352,6 +1352,76 @@ SELECT label, COUNT(*) AS near_dup_pairs FROM pairs WHERE cos_sim >= 0.9 GROUP B
 """
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF search: probe the nprobe nearest clusters only, exact cosine
+    within — the query half of ann_ivf_assign."""
+    from .operators.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10, nprobe=2)
+
+
+SQL_ANN_IVF_TOPK = """
+WITH p AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM p WHERE vec_id < 8
+), assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT p.vec_id, p.v, c.centroid_id,
+           round(list_dot_product(p.v, c.cv)
+                 / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.cv, c.cv))), 4) AS sim
+    FROM p CROSS JOIN c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1
+), q AS (SELECT v AS qv FROM p WHERE vec_id = 0
+), probe AS (
+  SELECT centroid_id FROM c, q
+  ORDER BY round(list_dot_product(cv, qv)
+                 / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 4) DESC,
+           centroid_id
+  LIMIT 2
+)
+SELECT a.vec_id,
+       round(list_dot_product(a.v, q.qv)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+FROM assigned a JOIN probe USING (centroid_id), q
+WHERE a.vec_id <> 0
+ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+"""
+
+
+def q_embedding_near_dup_lsh(spark, sf):
+    """Embedding near-dup, sign-LSH candidate generation (the scale path:
+    bucket equi-join, no label blocking, no all-pairs)."""
+    from .operators.similarity import near_dup_pairs_lsh
+
+    return near_dup_pairs_lsh(_t(spark, sf, "embeddings"), threshold=0.9)
+
+
+def _lsh_bucket_sql(var: str = "v", n_planes: int = 4) -> str:
+    terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(range(1, 65), i -> {var}[i] * "
+        f"(CASE WHEN (i*7 + {j}*13) % 3 < 2 THEN 1.0 ELSE -1.0 END))) > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(n_planes)
+    )
+    return f"({terms})"
+
+
+SQL_NEAR_DUP_LSH = f"""
+WITH p AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, CAST({_lsh_bucket_sql()} AS INT) AS bucket FROM p
+)
+SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       round(list_dot_product(a.v, b2.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 4) AS cos_sim
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE round(list_dot_product(a.v, b2.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 4) >= 0.9
+"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -1402,7 +1472,9 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_assign": q_ann_ivf_assign,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
 }
 
 ORACLES = {
@@ -1452,5 +1524,7 @@ ORACLES = {
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH,
     "ann_ivf_assign": SQL_ANN_IVF,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_near_dup": SQL_NEAR_DUP,
+    "embedding_near_dup_lsh": SQL_NEAR_DUP_LSH,
 }

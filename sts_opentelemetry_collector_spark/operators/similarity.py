@@ -124,6 +124,17 @@ def ivf_assign(
     partitions and queries probe one (or few) partitions. Plan shape:
     broadcast K centroids x fact side, per-row argmin — no shuffle of the
     vectors themselves."""
+    return (
+        ivf_assignments(embeddings, n_centroids)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+
+
+def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """Per-vector nearest-centroid assignment (vec_id, centroid_id,
+    embedding) — the IVF partitioning used by both the build-side
+    histogram (ivf_assign) and the query-side probe (ivf_topk)."""
     from pyspark.sql import Window
 
     cents = embeddings.where(F.col("vec_id") < n_centroids).select(
@@ -131,6 +142,7 @@ def ivf_assign(
     )
     scored = embeddings.crossJoin(F.broadcast(cents)).select(
         "vec_id",
+        "embedding",
         "centroid_id",
         F.round(
             _dot(F.col("embedding"), F.col("cv"))
@@ -139,11 +151,55 @@ def ivf_assign(
         ).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
-    assigned = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
     return (
-        assigned.groupBy("centroid_id")
-        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "sim")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search (query half of ivf_assign): probe only the nprobe
+    centroids nearest the query, exact cosine within their clusters. At
+    100 TB the assignment is the table's partition key, so this plan scans
+    nprobe/n_centroids of the data — the whole point of IVF."""
+    assigned = ivf_assignments(embeddings, n_centroids)
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    cents = embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id",
+            F.round(
+                _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 4
+            ).alias("qsim"),
+        )
+        .orderBy(F.desc("qsim"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    candidates = assigned.join(F.broadcast(probe), on="centroid_id").where(
+        F.col("vec_id") != query_vec_id
+    )
+    scored = candidates.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("qv"))
+            / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+            4,
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
 def near_dup_pairs(
@@ -166,4 +222,37 @@ def near_dup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("near_dup_pairs"))
+    )
+
+
+def near_dup_pairs_lsh(
+    embeddings: DataFrame, threshold: float = 0.9, n_planes: int = 4
+) -> DataFrame:
+    """Embedding near-dup, LSH-candidate form — the 100 TB path promised in
+    near_dup_pairs' docstring: candidate pairs come from an equi-join on
+    the sign-LSH bucket (never all-pairs / label-blocked), then exact
+    cosine filters. Sign-LSH recall: P(same bucket) = (1 - theta/pi)^planes
+    — near-dups at cos>=0.9 (theta<=25.8 deg) survive a 4-plane bucket
+    ~54% per band; stack bands (like the text MinHash r/b knob) to trade
+    compute for recall."""
+    t = embeddings.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket_expr(F.col("embedding"), n_planes).alias("bucket"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    cos = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+        4,
+    )
+    return (
+        a.join(b, on="bucket")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
     )
