@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "a7_resource_relations",
     "k6_intake_groups",
     "k3_traces_sink",
+    "p14_ottl_transform",
+    "r4_topic_override",
+    "ann_ivf_topk",
+    "embedding_near_dup_lsh",
 ]
 
 

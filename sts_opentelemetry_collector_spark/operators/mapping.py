@@ -19,6 +19,16 @@ expression}.go) Spark-first:
   mirroring e2e test/e2e/logtopology_test.go:118-141.
 - pick()/omit() custom CEL functions (internal/cel_functions.go:35-101)
   are registered as SQL scalar functions over map columns.
+
+Plan-shape note (measured, round 2): a "fused" alternative — one scan
+emitting an array of per-mapping conditional structs, exploded — was
+implemented and benchmarked at 2.4M rows x 5 mappings: 13.1s vs 4.8s for
+this union-of-branches form. The union wins because each branch's
+condition pushes below the attrs-map projection (rows filtered before the
+expensive tag/config map expressions run) and the branch pipelines stay
+inside whole-stage codegen, while the fused array projection is forced
+interpreted (HOF lambdas + Generate). Union-of-branches re-scans the
+pruned columnar input once per mapping, but that scan is the cheap part.
 """
 
 from __future__ import annotations

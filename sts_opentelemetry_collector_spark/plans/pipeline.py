@@ -196,6 +196,9 @@ def run_pipeline(
     ).dropDuplicates(["data_source", "shard_id", "external_id"])
     # ^ collection-map semantics: keyed by external_id per stream, so a
     # resumed run re-reading appended sinks stays idempotent.
+    # Three consumers (envelopes, stream lifecycle, intake) over a
+    # dimension-scale frame: persist once, skip two re-scans + re-dedups.
+    elements = elements.persist()
 
     # A6: size-capped envelope coalescing before the keyed stream write
     # (message_builder.go:194-257, 768 KiB cap :162-171). collection_ts is
@@ -249,6 +252,7 @@ def run_pipeline(
     sink_counts["topology_intake"] = (
         sink_counts["topology_components"] + sink_counts["topology_relations"]
     )
+    elements.unpersist()
     _mark("intake_write")
 
     # Metadata publisher analog (metadata_publisher.go:48-129): compacted
