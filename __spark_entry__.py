@@ -86,7 +86,11 @@ def entry(spark: SparkSession) -> DataFrame:
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     webtext = synth_webtext_from_documents(docs)
     pages = with_attrs(parse_pages(webtext))
-    compiled = apply_mappings(pages, default_mappings(), signal="logs")
+    from sts_opentelemetry_collector_spark.operators.parse import ATTRS_SOURCE_COLS
+
+    compiled = apply_mappings(
+        pages, default_mappings(), signal="logs", attr_cols=ATTRS_SOURCE_COLS
+    )
     components = with_shard_id(dedup_elements(compiled.components))
     return (
         components.groupBy("data_source", "type_name", "shard_id")

@@ -78,6 +78,67 @@ def rewrite_vars(expr: str) -> str:
 
 _IDENT = re.compile(r"\b[A-Za-z_][A-Za-z0-9_]*\b")
 
+_ATTR_LOOKUP = re.compile(r"attrs\[(?P<q>['\"])(?P<k>[A-Za-z0-9_.\- ]+)(?P=q)\]")
+
+
+def fold_attr_lookups(expr: str, attr_cols: list[str]) -> str:
+    """Static attribute resolution: ``attrs['k']`` -> ``CAST(k AS STRING)``
+    when `attrs` is the with_attrs map mirroring column k (same name,
+    stringified, null-filtered — so the direct cast is value-identical).
+
+    This is the same move the reference's expression compiler makes when
+    it resolves attribute paths against the flattened record
+    (expression.go attribute binding), and it matters: a literal lookup
+    through the built map forces the interpreted create_map+map_filter
+    chain per row (measured 13x slower than the column reference at 4.8M
+    rows). Map-wide uses (bare ``attrs`` in pick/omit/regex tags) are left
+    untouched. ONLY safe when the input's attrs column was built by
+    with_attrs — callers opt in via apply_mappings(attr_cols=...)."""
+    colset = set(attr_cols)
+
+    def sub(m):
+        k = m.group("k")
+        return f"CAST(`{k}` AS STRING)" if k in colset else m.group(0)
+
+    return _ATTR_LOOKUP.sub(sub, expr)
+
+
+def _fold_mapping(m, attr_cols: list[str]):
+    """Rewritten copy of a (frozen) mapping with attr lookups folded."""
+    import dataclasses as _dc
+
+    def f(e):
+        return fold_attr_lookups(e, attr_cols) if e else e
+
+    o = m.output
+    if isinstance(m, ComponentMapping):
+        new_o = _dc.replace(
+            o,
+            identifier=f(o.identifier),
+            name=f(o.name),
+            type_name=f(o.type_name),
+            additional_identifiers=tuple(f(a) for a in o.additional_identifiers),
+            configuration=f(o.configuration),
+            status=f(o.status),
+            layer=f(o.layer),
+            domain=f(o.domain),
+            tags=tuple(
+                _dc.replace(t, source=f(t.source)) if t.pattern is None else t
+                for t in o.tags
+            ),
+        )
+    else:
+        new_o = _dc.replace(
+            o, source_id=f(o.source_id), target_id=f(o.target_id),
+            type_name=f(o.type_name),
+        )
+    return _dc.replace(
+        m,
+        condition=f(m.condition),
+        vars=tuple((n, f(e)) for n, e in m.vars),
+        output=new_o,
+    )
+
 
 def referenced_columns(exprs: list[str], columns: list[str]) -> list[str]:
     """Plan-time analog of the reference's expression-AST reference walk
@@ -152,6 +213,14 @@ class CompiledMappings:
     errors: list[dict] = field(default_factory=list)  # mapping-level (plan-time) errors
     # data_source -> input columns its expressions reference (for dedup keys)
     refs: dict[str, list[str]] = field(default_factory=dict)
+    # pre-required-filter unions with a _required_ok flag: lets the caller
+    # observe() error counts on the element-write job itself instead of
+    # re-running the branch unions (a full input re-scan) to count errors
+    components_flagged: DataFrame | None = None
+    relations_flagged: DataFrame | None = None
+    # CREATE-action mapping ids per kind (the data_source values that can
+    # appear in the flagged frames), for per-mapping observe metrics
+    create_ids: dict[str, list[str]] = field(default_factory=dict)
 
 
 def _empty(spark: SparkSession, kind: str) -> DataFrame:
@@ -284,7 +353,7 @@ def compile_component_mapping(
     ]
     err = _validate(df, m, checks)
     if err is not None:
-        return None, None, err
+        return None, None, err, None
 
     branch = _branch(df, m)
 
@@ -294,7 +363,7 @@ def compile_component_mapping(
             F.lit(m.identifier).alias("data_source"),
             F.lit(m.signal).alias("signal"),
         ).where(F.col("external_id").isNotNull())
-        return deletes, None, None
+        return deletes, None, None, None
 
     ident = F.expr(rewrite_vars(o.identifier)).cast("string")
     addl = [F.expr(rewrite_vars(a)).cast("string") for a in o.additional_identifiers]
@@ -334,13 +403,17 @@ def compile_component_mapping(
         & F.col("name").isNotNull()
         & F.col("type_name").isNotNull()
     )
-    comps = projected.where(required_ok)
-    rec_errors = projected.where(~required_ok).select(
+    # flagged form: the caller splits ok/error rows — and can observe()
+    # error counts on the SAME job as the element write, instead of
+    # re-executing the whole branch union to count (usually zero) errors
+    flagged = projected.withColumn("_required_ok", required_ok)
+    comps = flagged.where(F.col("_required_ok")).drop("_required_ok")
+    rec_errors = flagged.where(~F.col("_required_ok")).select(
         F.col("data_source"),
         F.col("signal"),
         F.lit("required output expression evaluated to null").alias("error"),
     )
-    return comps, rec_errors, None
+    return comps, rec_errors, None, flagged
 
 
 def compile_relation_mapping(
@@ -355,7 +428,7 @@ def compile_relation_mapping(
     ]
     err = _validate(df, m, checks)
     if err is not None:
-        return None, None, err
+        return None, None, err, None
 
     branch = _branch(df, m)
     src = F.expr(rewrite_vars(o.source_id)).cast("string")
@@ -367,7 +440,7 @@ def compile_relation_mapping(
             F.lit(m.identifier).alias("data_source"),
             F.lit(m.signal).alias("signal"),
         ).where(src.isNotNull() & tgt.isNotNull())
-        return deletes, None, None
+        return deletes, None, None, None
 
     # dependencyType normalization (mapping.go:280-292)
     dep = F.upper(F.trim(F.lit(o.dependency_type)))
@@ -390,13 +463,14 @@ def compile_relation_mapping(
         & F.col("target_identifier").isNotNull()
         & F.col("type_name").isNotNull()
     )
-    rels = projected.where(required_ok)
-    rec_errors = projected.where(~required_ok).select(
+    flagged = projected.withColumn("_required_ok", required_ok)
+    rels = flagged.where(F.col("_required_ok")).drop("_required_ok")
+    rec_errors = flagged.where(~F.col("_required_ok")).select(
         F.col("data_source"),
         F.col("signal"),
         F.lit("required output expression evaluated to null").alias("error"),
     )
-    return rels, rec_errors, None
+    return rels, rec_errors, None, flagged
 
 
 def _union_all(dfs: list[DataFrame]) -> DataFrame | None:
@@ -409,7 +483,12 @@ def _union_all(dfs: list[DataFrame]) -> DataFrame | None:
     return out
 
 
-def apply_mappings(df: DataFrame, mappings: MappingSet, signal: str = "logs") -> CompiledMappings:
+def apply_mappings(
+    df: DataFrame,
+    mappings: MappingSet,
+    signal: str = "logs",
+    attr_cols: list[str] | None = None,
+) -> CompiledMappings:
     """Compile + apply all mappings of a signal: union of filtered
     projections — the Spark equivalent of the per-mapping full re-traversal
     loop (internal/pipeline.go:128-144), except traversal cost is shared:
@@ -417,11 +496,21 @@ def apply_mappings(df: DataFrame, mappings: MappingSet, signal: str = "logs") ->
     """
     spark = df.sparkSession
     ms = mappings.for_signal(signal)
+    if attr_cols:
+        # static attribute resolution (safe only for with_attrs inputs)
+        cols = [c for c in attr_cols if c in df.columns]
+        ms = MappingSet(
+            version=ms.version,
+            components=[_fold_mapping(m, cols) for m in ms.components],
+            relations=[_fold_mapping(m, cols) for m in ms.relations],
+        )
     result = CompiledMappings()
     comp_parts, rel_parts, del_parts, err_parts = [], [], [], []
+    comp_flag_parts, rel_flag_parts = [], []
+    result.create_ids = {"components": [], "relations": []}
 
     for m in ms.components:
-        out, rec_err, map_err = compile_component_mapping(df, m)
+        out, rec_err, map_err, flagged = compile_component_mapping(df, m)
         if map_err is not None:
             result.errors.append(
                 {"data_source": m.identifier, "signal": signal, "error": map_err}
@@ -433,9 +522,11 @@ def apply_mappings(df: DataFrame, mappings: MappingSet, signal: str = "logs") ->
         else:
             comp_parts.append(out)
             err_parts.append(rec_err)
+            comp_flag_parts.append(flagged)
+            result.create_ids["components"].append(m.identifier)
 
     for m in ms.relations:
-        out, rec_err, map_err = compile_relation_mapping(df, m)
+        out, rec_err, map_err, flagged = compile_relation_mapping(df, m)
         if map_err is not None:
             result.errors.append(
                 {"data_source": m.identifier, "signal": signal, "error": map_err}
@@ -447,9 +538,13 @@ def apply_mappings(df: DataFrame, mappings: MappingSet, signal: str = "logs") ->
         else:
             rel_parts.append(out)
             err_parts.append(rec_err)
+            rel_flag_parts.append(flagged)
+            result.create_ids["relations"].append(m.identifier)
 
     result.components = _union_all(comp_parts) or _empty(spark, "components")
     result.relations = _union_all(rel_parts) or _empty(spark, "relations")
+    result.components_flagged = _union_all(comp_flag_parts)
+    result.relations_flagged = _union_all(rel_flag_parts)
     result.deletes = _union_all(del_parts) or _empty(spark, "deletes")
     rec_errors = _union_all(err_parts)
     result.record_errors = (

@@ -85,6 +85,12 @@ def strip_sensitive(attrs_col):
     )
 
 
+# the columns with_attrs mirrors into the attrs map (same name, cast to
+# string) — the safe-fold list for the mapping compiler's static attribute
+# resolution (attrs['k'] => CAST(k AS STRING))
+ATTRS_SOURCE_COLS = ["host", "path", "title", "service", "cluster", "namespace", "lang"]
+
+
 def with_attrs(parsed: DataFrame) -> DataFrame:
     """Add the open-keyed `attrs` map the mapping engine evaluates against —
     the analog of the reference's per-record attribute views
@@ -92,7 +98,7 @@ def with_attrs(parsed: DataFrame) -> DataFrame:
     (map semantics: absent key == null lookup); sensitive keys stripped
     (P12)."""
     pairs = []
-    for c in ["host", "path", "title", "service", "cluster", "namespace", "lang"]:
+    for c in ATTRS_SOURCE_COLS:
         if c not in parsed.columns:
             continue
         pairs.append(F.lit(c))

@@ -142,12 +142,51 @@ def run_pipeline(
     mapping_input = with_attrs(
         logs_back.select("host", "path", "service", "cluster", "namespace", "lang")
     )
-    compiled = apply_mappings(mapping_input, mappings, signal="logs")
+    from ..operators.parse import ATTRS_SOURCE_COLS
+
+    compiled = apply_mappings(
+        mapping_input, mappings, signal="logs", attr_cols=ATTRS_SOURCE_COLS
+    )
     _mark("compile_mappings")
 
-    # ---- dedup + shard + route
-    components = with_shard_id(dedup_elements(compiled.components))
-    relations = with_shard_id(dedup_elements(compiled.relations))
+    # ---- dedup + shard + route. Record-error counting rides the element
+    # writes via observe() on the pre-required-filter (flagged) frames —
+    # counting errors in a separate job would re-execute the whole branch
+    # union over the input (measured 5s of a 31s run at 4.8M x local[8]).
+    def _flagged_src(flagged, fallback, ids, obs_name):
+        if flagged is None or not ids:
+            return fallback, None
+        obs = Observation(obs_name)
+        metrics = [
+            F.sum(
+                F.when(
+                    ~F.col("_required_ok") & (F.col("data_source") == ds), 1
+                ).otherwise(0)
+            ).alias(f"e{i}")
+            for i, ds in enumerate(ids)
+        ]
+        observed = flagged.observe(obs, *metrics)
+        return (
+            observed.where(F.col("_required_ok")).drop("_required_ok"),
+            (obs, ids),
+        )
+
+    comp_src, comp_err_obs = _flagged_src(
+        compiled.components_flagged, compiled.components,
+        compiled.create_ids.get("components", []), f"comperr_{run_id}",
+    )
+    rel_src, rel_err_obs = _flagged_src(
+        compiled.relations_flagged, compiled.relations,
+        compiled.create_ids.get("relations", []), f"relerr_{run_id}",
+    )
+    # Components and relations ride ONE keyed element stream — exactly the
+    # reference's topology stream topic, whose envelopes carry both kinds
+    # per (dataSource, shard) (spec/topo_stream.proto, message_builder.go).
+    # One write == one pass over the mapped input instead of two.
+    comp_u = comp_src.withColumn("element_kind", F.lit("component"))
+    rel_u = rel_src.withColumn("element_kind", F.lit("relation"))
+    element_stream = comp_u.unionByName(rel_u, allowMissingColumns=True)
+    elements_keyed = with_shard_id(dedup_elements(element_stream))
     deletes = with_shard_id(dedup_elements(compiled.deletes))
 
     # Keyed write: partitioned by (data_source, shard_id) — the Kafka
@@ -169,10 +208,22 @@ def run_pipeline(
         )
         sink_counts[name] = obs.get["n"]
 
-    _write(components, "topology_components")
-    _mark("components_write")
-    _write(relations, "topology_relations")
-    _mark("relations_write")
+    el_obs = Observation(f"elements_{run_id}")
+    sinks.append(
+        elements_keyed.observe(
+            el_obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("element_kind") == "component", 1).otherwise(0)).alias("nc"),
+            F.sum(F.when(F.col("element_kind") == "relation", 1).otherwise(0)).alias("nr"),
+        ),
+        "topology_elements",
+        partition_by=part_cols,
+    )
+    got = el_obs.get
+    sink_counts["topology_elements"] = got["n"]
+    sink_counts["topology_components"] = int(got["nc"] or 0)
+    sink_counts["topology_relations"] = int(got["nr"] or 0)
+    _mark("elements_write")
     _write(deletes, "topology_deletes")
     _mark("deletes_write")
 
@@ -180,19 +231,18 @@ def run_pipeline(
     # Topology elements are dimension-scale (bounded by the mapped entity
     # universe, not the page count), so reading the just-landed sinks back
     # is a pruned scan over tiny tables — no recompute of the page scan.
-    comp_back = sinks.read(spark, "topology_components")
-    rel_back = sinks.read(spark, "topology_relations")
-    elements = comp_back.select(
-        "data_source", "shard_id", "external_id",
-        F.to_json(F.struct("external_id", "name", "type_name")).alias("payload"),
-    ).unionByName(
-        rel_back.select(
-            "data_source", "shard_id", "external_id",
-            F.to_json(
-                F.struct("external_id", "source_identifier", "target_identifier",
-                         "type_name")
-            ).alias("payload"),
+    elements_back = sinks.read(spark, "topology_elements")
+    payload = F.when(
+        F.col("element_kind") == "component",
+        F.to_json(F.struct("external_id", "name", "type_name")),
+    ).otherwise(
+        F.to_json(
+            F.struct("external_id", "source_identifier", "target_identifier",
+                     "type_name")
         )
+    )
+    elements = elements_back.select(
+        "data_source", "shard_id", "external_id", payload.alias("payload")
     ).dropDuplicates(["data_source", "shard_id", "external_id"])
     # ^ collection-map semantics: keyed by external_id per stream, so a
     # resumed run re-reading appended sinks stays idempotent.
@@ -267,13 +317,30 @@ def run_pipeline(
     ):
         sinks.overwrite(stream_metadata(spark, mappings), "stream_metadata",
                         partition_by=None)
-    _write(
-        compiled.record_errors.groupBy("data_source", "signal", "error").agg(
-            F.count(F.lit(1)).alias("error_count")
+    # record-error counts were observed on the element writes above —
+    # materialize the tiny summary table driver-side, no extra scan
+    err_rows = []
+    for pair in (comp_err_obs, rel_err_obs):
+        if pair is None:
+            continue
+        obs, ids = pair
+        got = obs.get
+        for i, ds in enumerate(ids):
+            n = int(got[f"e{i}"] or 0)
+            if n > 0:
+                err_rows.append(
+                    (ds, "logs", "required output expression evaluated to null", n)
+                )
+    sinks.append(
+        spark.createDataFrame(
+            err_rows,
+            "data_source string, signal string, error string, error_count long",
         ),
         "mapping_errors",
         partition_by=None,
     )
+    sink_counts["mapping_errors"] = len(err_rows)
+    _mark("mapping_errors_write")
 
     # ---- tombstones for removed mappings (R5); count is known driver-side
     # (4 shards per removed mapping), no extra job when nothing was removed
@@ -288,6 +355,7 @@ def run_pipeline(
         )
     sink_counts["tombstones"] = 4 * len(removed)
     sink_counts["metadata_tombstones"] = len(removed)
+    _mark("tombstones_metadata")
 
     # ---- windowed telemetry rollup (host, warc_ts bucket), salted for skew.
     # Recomputed from the logs sink (all completed partitions), overwritten:

@@ -283,3 +283,42 @@ def test_first_regex_mapping_wins_on_key_collision(spark):
     )
     row = apply_mappings(df, MappingSet(components=[m])).components.collect()[0]
     assert row.tags == {"k8s.cluster": "first"}
+
+
+def test_attr_lookup_folding_is_value_identical(spark):
+    """Static attribute resolution (attrs['k'] -> CAST(k AS STRING)) must
+    produce byte-identical outputs to the map-lookup plan, and must leave
+    non-mirrored keys (absent columns, custom maps) untouched."""
+    from sts_opentelemetry_collector_spark.operators.mapping import (
+        apply_mappings,
+        fold_attr_lookups,
+        register_sql_functions,
+    )
+    from sts_opentelemetry_collector_spark.operators.parse import (
+        ATTRS_SOURCE_COLS,
+        with_attrs,
+    )
+    from sts_opentelemetry_collector_spark.sources.settings import default_mappings
+
+    register_sql_functions(spark)
+    assert fold_attr_lookups("attrs['cluster'] = 'x'", ["cluster"]) == (
+        "CAST(`cluster` AS STRING) = 'x'"
+    )
+    assert fold_attr_lookups("attrs['nope']", ["cluster"]) == "attrs['nope']"
+
+    df = with_attrs(
+        spark.createDataFrame(
+            [("h1", "/p", "svc-a", "production", "ns", "en"),
+             ("h2", None, "svc-b", "staging", None, "de")],
+            "host string, path string, service string, cluster string,"
+            "namespace string, lang string",
+        )
+    )
+    plain = apply_mappings(df, default_mappings())
+    folded = apply_mappings(df, default_mappings(), attr_cols=ATTRS_SOURCE_COLS)
+    a = sorted(map(str, plain.components.collect()))
+    b = sorted(map(str, folded.components.collect()))
+    assert a == b
+    ra = sorted(map(str, plain.relations.collect()))
+    rb = sorted(map(str, folded.relations.collect()))
+    assert ra == rb

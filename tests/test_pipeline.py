@@ -27,7 +27,9 @@ def test_full_run_counts(spark, webtext_dir, tmp_path):
     assert sc["topology_relations"] > 0
     sinks = SinkCatalog(os.path.join(out, "sinks"))
     # per-sink routed-row equality: what the summary claims is what landed
-    assert sinks.read(spark, "topology_components").count() == sc["topology_components"]
+    els = sinks.read(spark, "topology_elements")
+    assert els.where("element_kind = 'component'").count() == sc["topology_components"]
+    assert els.where("element_kind = 'relation'").count() == sc["topology_relations"]
     assert sinks.read(spark, "otel_logs").count() == 2000
     # rollup mass equals total pages
     rollup = sinks.read(spark, "rollup_host_window")
@@ -77,14 +79,18 @@ def test_resume_converges_to_full_run(spark, webtext_dir, tmp_path):
     assert a == b
     # topology elements: identical distinct element sets (delivery is
     # at-least-once across runs; identity equality is the invariant)
-    for t in ("topology_components", "topology_relations"):
+    for kind in ("component", "relation"):
         sa = {
             (r.data_source, r.external_id)
-            for r in sinks_full.read(spark, t).select("data_source", "external_id").collect()
+            for r in sinks_full.read(spark, "topology_elements")
+            .where(f"element_kind = '{kind}'")
+            .select("data_source", "external_id").collect()
         }
         sb = {
             (r.data_source, r.external_id)
-            for r in sinks_res.read(spark, t).select("data_source", "external_id").collect()
+            for r in sinks_res.read(spark, "topology_elements")
+            .where(f"element_kind = '{kind}'")
+            .select("data_source", "external_id").collect()
         }
         assert sa == sb
 
@@ -219,3 +225,33 @@ def test_metadata_tombstones_on_removal(spark, webtext_dir, tmp_path):
     sinks = SinkCatalog(os.path.join(out, "sinks"))
     ts = sinks.read(spark, "metadata_tombstones").collect()
     assert [r.data_source for r in ts] == [removed_id]
+
+
+def test_record_errors_counted_via_observe(spark, webtext_dir, tmp_path):
+    """A mapping whose required output evals null on some rows yields
+    mapping_errors counts WITHOUT a separate branch-union re-execution
+    (counts ride the element write via observe)."""
+    from sts_opentelemetry_collector_spark.config import (
+        ComponentMapping,
+        ComponentOutput,
+    )
+
+    out = str(tmp_path / "errs")
+    ms = default_mappings()
+    # title is null for some parsed rows? use a condition-true mapping whose
+    # identifier is null whenever attrs lacks 'nope'
+    ms.components.append(
+        ComponentMapping(
+            identifier="null-ident-mapping",
+            output=ComponentOutput(
+                identifier="attrs['nope']", name="host", type_name="'t'"
+            ),
+        )
+    )
+    summary = run_pipeline(spark, _webtext_path(webtext_dir), out, mappings=ms,
+                           n_lineage_buckets=4)
+    sinks = SinkCatalog(os.path.join(out, "sinks"))
+    errs = {r.data_source: r.error_count
+            for r in sinks.read(spark, "mapping_errors").collect()}
+    assert errs.get("null-ident-mapping") == 2000  # every row errors
+    assert summary["sink_counts"]["mapping_errors"] == 1
