@@ -1389,12 +1389,59 @@ ORDER BY cos_sim DESC, a.vec_id LIMIT 10
 """
 
 
-def q_embedding_near_dup_lsh(spark, sf):
-    """Embedding near-dup, sign-LSH candidate generation (the scale path:
-    bucket equi-join, no label blocking, no all-pairs)."""
-    from .operators.similarity import near_dup_pairs_lsh
+def q_k5_metrics_dispatch(spark, sf):
+    """K5: metrics sink 5-type dispatch + int/double value coalesce
+    (exporter_metrics.go:73-83, metrics_model.go:147-179): one stream fans
+    to five typed tables; per-type counts + exact integer-cents sums."""
+    from .operators.exporters import METRIC_TYPES, dispatch_metrics
 
-    return near_dup_pairs_lsh(_t(spark, sf, "embeddings"), threshold=0.9)
+    e = _t(spark, sf, "events")
+    types = F.array(*[F.lit(t) for t in METRIC_TYPES])
+    metrics = e.select(
+        F.concat(F.lit("m_"), F.col("event_type")).alias("metric_name"),
+        F.element_at(types, (F.col("user_id") % 5 + 1).cast("int")).alias(
+            "metric_type"
+        ),
+        F.col("ts"),
+        F.when(F.col("event_id") % 2 == 0, F.floor("value").cast("long")).alias(
+            "int_value"
+        ),
+        F.when(F.col("event_id") % 2 == 1, F.col("value")).alias("double_value"),
+        F.create_map().cast("map<string,string>").alias("attributes"),
+    )
+    routed = dispatch_metrics(metrics)
+    parts = [
+        df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.floor(F.col("value") * 100).cast("long")), F.lit(0)
+            ).alias("value_cents"),
+        ).select(F.lit(t).alias("metric_type"), "n", "value_cents")
+        for t, df in sorted(routed.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_K5 = """
+WITH m AS (
+  SELECT list_value('gauge','sum','histogram','exp_histogram','summary')
+           [CAST(user_id%5 AS INT)+1] AS metric_type,
+         COALESCE(CASE WHEN event_id%2=0 THEN CAST(floor(value) AS DOUBLE) END,
+                  CASE WHEN event_id%2=1 THEN value END) AS value
+  FROM events
+)
+SELECT t.metric_type, COALESCE(n, 0) AS n,
+       CAST(COALESCE(value_cents, 0) AS BIGINT) AS value_cents
+FROM (SELECT unnest(list_value('exp_histogram','gauge','histogram','sum','summary')) AS metric_type) t
+LEFT JOIN (
+  SELECT metric_type, COUNT(*) AS n,
+         CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM m GROUP BY metric_type
+) g USING (metric_type)
+"""
 
 
 def _lsh_bucket_sql(var: str = "v", n_planes: int = 4) -> str:
@@ -1405,6 +1452,36 @@ def _lsh_bucket_sql(var: str = "v", n_planes: int = 4) -> str:
         for j in range(n_planes)
     )
     return f"({terms})"
+
+
+def q_ann_lsh_topk(spark, sf):
+    """ANN probe: exact cosine only within the query's sign-LSH bucket —
+    at scale the bucket is the partition key (one-bucket scan)."""
+    from .operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH p AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, CAST({_lsh_bucket_sql()} AS INT) AS bucket FROM p
+), q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT b.vec_id,
+       round(list_dot_product(b.v, q.qv)
+             / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+FROM b, q WHERE b.bucket = q.qb AND b.vec_id <> 0
+ORDER BY cos_sim DESC, b.vec_id LIMIT 10
+"""
+
+
+def q_embedding_near_dup_lsh(spark, sf):
+    """Embedding near-dup, sign-LSH candidate generation (the scale path:
+    bucket equi-join, no label blocking, no all-pairs)."""
+    from .operators.similarity import near_dup_pairs_lsh
+
+    return near_dup_pairs_lsh(_t(spark, sf, "embeddings"), threshold=0.9)
 
 
 SQL_NEAR_DUP_LSH = f"""
@@ -1473,6 +1550,8 @@ QUERIES = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "k5_metrics_dispatch": q_k5_metrics_dispatch,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
 }
@@ -1525,6 +1604,8 @@ ORACLES = {
     "ann_lsh_buckets": SQL_ANN_LSH,
     "ann_ivf_assign": SQL_ANN_IVF,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "k5_metrics_dispatch": SQL_K5,
     "embedding_near_dup": SQL_NEAR_DUP,
     "embedding_near_dup_lsh": SQL_NEAR_DUP_LSH,
 }

@@ -121,3 +121,80 @@ def run_stream_to_sink(stream_df: DataFrame, out_path: str, checkpoint: str,
         .start()
     )
     q.awaitTermination()
+
+
+def run_pipeline_streaming(
+    spark: SparkSession,
+    webtext_path: str,
+    out_root: str,
+    mappings=None,
+    max_files: int = 4,
+) -> dict:
+    """Always-on mode: the flagship parse -> enrich -> map -> dedup ->
+    shard -> export pipeline as ONE Structured Streaming job.
+
+    foreachBatch applies the EXACT batch operators to each micro-batch —
+    the reference's Kafka consume loop (each poll = one batch through the
+    connector pipeline); the checkpoint gives exactly-once per micro-batch
+    on the file source. Cross-batch element dedup is the downstream
+    upsert's job (same at-least-once contract as the batch pipeline's
+    element sinks); the in-stream dedup twin is streaming_dedup
+    (dropDuplicatesWithinWatermark).
+
+    AvailableNow drains the backlog then stops, so tests/CI can assert
+    stream == batch; drop the trigger for a true always-on deployment.
+    """
+    import os
+
+    from ..operators.dedup import dedup_elements
+    from ..operators.enrich import enrich_pages
+    from ..operators.mapping import apply_mappings, register_sql_functions
+    from ..operators.parse import ATTRS_SOURCE_COLS, parse_pages, with_attrs
+    from ..operators.routing import with_shard_id
+    from ..plans.sinks import SinkCatalog
+    from ..session import ensure_semantics_confs
+    from ..sources.settings import default_mappings
+    from ..sources.webtext import dims
+
+    ensure_semantics_confs(spark)
+    register_sql_functions(spark)
+    mappings = mappings or default_mappings()
+    sinks = SinkCatalog(os.path.join(out_root, "sinks"))
+    lang_map, host_topology = dims(spark)
+    batches: list[int] = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pages = parse_pages(batch_df.drop("text"))
+        enriched = enrich_pages(pages, lang_map, host_topology)
+        logs = enriched.select(
+            "url", "warc_ts", "host", "path", "title", "extracted_text",
+            "lang", "lang_family", "service", "cluster", "namespace",
+        ).withColumn("ds", F.to_date("warc_ts"))
+        sinks.append(logs, "otel_logs_stream", partition_by=None)
+
+        mi = with_attrs(
+            logs.select("host", "path", "service", "cluster", "namespace", "lang")
+        )
+        compiled = apply_mappings(
+            mi, mappings, signal="logs", attr_cols=ATTRS_SOURCE_COLS
+        )
+        comp_u = compiled.components.withColumn("element_kind", F.lit("component"))
+        rel_u = compiled.relations.withColumn("element_kind", F.lit("relation"))
+        elements = with_shard_id(
+            dedup_elements(comp_u.unionByName(rel_u, allowMissingColumns=True))
+        )
+        sinks.append(
+            elements, "topology_elements_stream",
+            partition_by=["data_source", "shard_id"],
+        )
+        batches.append(batch_id)
+
+    stream = read_webtext_stream(spark, webtext_path, max_files=max_files)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(out_root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {"micro_batches": len(batches)}

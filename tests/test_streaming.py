@@ -103,3 +103,46 @@ def test_streaming_pair_join(spark, tmp_path):
     edges = spark.read.parquet(out).collect()
     assert len(edges) == 1
     assert edges[0].client == "frontend" and edges[0].server == "checkout"
+
+
+def test_streaming_pipeline_matches_batch(spark, webtext_dir, tmp_path):
+    """The foreachBatch streaming flagship over multiple micro-batches
+    must land the same logs count and the same distinct element identity
+    set as the batch run_pipeline on the same input."""
+    from sts_opentelemetry_collector_spark.plans.pipeline import run_pipeline
+    from sts_opentelemetry_collector_spark.plans.sinks import SinkCatalog
+    from sts_opentelemetry_collector_spark.streaming.jobs import (
+        run_pipeline_streaming,
+    )
+
+    import shutil
+
+    from sts_opentelemetry_collector_spark.sources.webtext import write_webtext
+
+    # three arrival files => three micro-batches at max_files=1
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    for i in range(3):
+        f = write_webtext(str(tmp_path / f"gen{i}"), 700, seed=42 + i)
+        shutil.move(f, os.path.join(src, f"batch{i}.parquet"))
+
+    s_out = str(tmp_path / "stream")
+    summary = run_pipeline_streaming(spark, src, s_out, max_files=1)
+    assert summary["micro_batches"] == 3  # genuinely incremental
+
+    b_out = str(tmp_path / "batch")
+    run_pipeline(spark, src, b_out, n_lineage_buckets=4)
+
+    s_sinks = SinkCatalog(os.path.join(s_out, "sinks"))
+    b_sinks = SinkCatalog(os.path.join(b_out, "sinks"))
+    assert s_sinks.read(spark, "otel_logs_stream").count() == 2100
+
+    def elem_set(df):
+        return {
+            (r.element_kind, r.data_source, r.external_id)
+            for r in df.select("element_kind", "data_source", "external_id").collect()
+        }
+
+    got = elem_set(s_sinks.read(spark, "topology_elements_stream"))
+    expected = elem_set(b_sinks.read(spark, "topology_elements"))
+    assert got == expected
