@@ -78,7 +78,9 @@ def rewrite_vars(expr: str) -> str:
 
 _IDENT = re.compile(r"\b[A-Za-z_][A-Za-z0-9_]*\b")
 
-_ATTR_LOOKUP = re.compile(r"attrs\[(?P<q>['\"])(?P<k>[A-Za-z0-9_.\- ]+)(?P=q)\]")
+_ATTR_LOOKUP = re.compile(
+    r"(?<![A-Za-z0-9_])attrs\[(?P<q>['\"])(?P<k>[A-Za-z0-9_.\- ]+)(?P=q)\]"
+)  # boundary guard: never rewrite ...attrs[...] inside a longer identifier
 
 
 def fold_attr_lookups(expr: str, attr_cols: list[str]) -> str:

@@ -20,6 +20,32 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+def _split_where(s: str) -> int | None:
+    """Index of the statement-level `` where `` separator: the last
+    occurrence at paren depth 0 outside string literals — a `' where '`
+    inside a set-value expression (e.g. concat(a, ' where ', b)) is NOT a
+    condition clause."""
+    depth = 0
+    quote = None
+    best = None
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in ("'", '"'):
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c == " " and s.startswith(" where ", i):
+            best = i
+        i += 1
+    return best
+
+
 _DELETE_RE = re.compile(r'^delete_key\((\w+),\s*"([^"]+)"\)$')
 _SET_RE = re.compile(r'^set\((\w+)\["([^"]+)"\],\s*(.+)\)$')
 
@@ -39,9 +65,9 @@ def parse_statement(stmt: str) -> OttlStatement:
     optional `` where <cond>`` suffix (OTTL statement grammar)."""
     s = stmt.strip()
     cond = None
-    if " where " in s:
-        s, cond = s.split(" where ", 1)
-        s, cond = s.strip(), cond.strip()
+    idx = _split_where(s)
+    if idx is not None:
+        s, cond = s[:idx].strip(), s[idx + len(" where "):].strip()
     m = _DELETE_RE.match(s)
     if m:
         return OttlStatement("delete_key", m.group(1), m.group(2), None, cond)

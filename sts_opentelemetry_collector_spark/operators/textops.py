@@ -12,9 +12,9 @@ of engine-private hash functions.
 Scale notes:
 - exact dedup: one hash-partitioned groupBy on md5(text) — map-side
   partial agg, AQE-coalesced; no skew (hashes are uniform).
-- n-gram Jaccard: candidate pairing is restricted by a blocking key
-  (lang) — at 100 TB the blocking key must be finer (lang + length
-  bucket + one MinHash band); the LSH path below is the scale path.
+- n-gram Jaccard: candidates come from MinHash-LSH buckets (r=2 rows
+  per band), never blocking keys or all-pairs — candidate volume tracks
+  true near-dup density at any scale.
 - MinHash: per-band minima computed per row (no shuffle), then one
   groupBy band-value to form buckets: pairs only within buckets.
 - SimHash: 16-bit signature via md5-derived token bits, all HOFs.
@@ -83,7 +83,7 @@ def ngram_jaccard_pairs(
     J=0.8) — the standard LSH knob, tune (bands, rows) per corpus.
     Jaccard = |A∩B| / |A∪B| via array HOFs on the surviving candidates;
     doc_a < doc_b canonicalizes."""
-    sigs = minhash_signatures(docs, bands, rows_per_band=2)
+    sigs = minhash_signatures(docs, bands, rows_per_band=2, n=n)
     band_structs = F.array(
         *[
             F.struct(F.lit(b).alias("band"), F.col(f"mh_{b}").alias("bucket"))
@@ -135,7 +135,9 @@ def spread(docs: DataFrame) -> DataFrame:
     return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
 
-def minhash_signatures(docs: DataFrame, bands: int = 4, rows_per_band: int = 1) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, bands: int = 4, rows_per_band: int = 1, n: int = 2
+) -> DataFrame:
     """MinHash signature, b bands x r rows: each row-hash is one 8-hex-char
     (32-bit) chunk of md5; chunks 0-3 slice md5(s), chunks 4-7 slice
     md5('r2:'||s) — disjoint slices of a cryptographic hash are independent
@@ -148,7 +150,7 @@ def minhash_signatures(docs: DataFrame, bands: int = 4, rows_per_band: int = 1) 
     n_chunks = bands * rows_per_band
     if n_chunks > 8:
         raise ValueError("bands*rows_per_band <= 8")
-    sh = shingles_col()
+    sh = shingles_col(n=n)
     # materialize each md5 pass ONCE as its own array column: the chunk
     # minima below each reference it via substring, and CollapseProject
     # keeps a multiply-referenced expensive alias materialized instead of
@@ -174,9 +176,16 @@ def minhash_signatures(docs: DataFrame, bands: int = 4, rows_per_band: int = 1) 
 
     for b in range(bands):
         mins = [chunk_min(b * rows_per_band + r) for r in range(rows_per_band)]
-        out = out.withColumn(
-            f"mh_{b}", mins[0] if rows_per_band == 1 else F.concat_ws("", *mins)
+        # shingle-less docs (under n+1 tokens) must get a NULL bucket, not
+        # '' — concat_ws drops null minima, which would collide every short
+        # doc into one bucket per band (an all-pairs flood); null never
+        # equi-joins, matching the oracle's NULL||NULL=NULL
+        val = (
+            mins[0]
+            if rows_per_band == 1
+            else F.when(F.size(F.col("_h1")) > 0, F.concat_ws("", *mins))
         )
+        out = out.withColumn(f"mh_{b}", val)
     return out.drop("_h1", "_h2") if n_chunks > 4 else out.drop("_h1")
 
 

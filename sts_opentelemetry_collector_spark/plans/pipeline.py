@@ -53,6 +53,20 @@ def _orphan_runs(spark, sinks: SinkCatalog, manifest: Manifest, sink_name: str) 
     return sorted(on_disk - committed)
 
 
+def build_element_stream(components: "DataFrame", relations: "DataFrame") -> "DataFrame":
+    """Components and relations ride ONE keyed element stream — exactly the
+    reference's topology stream topic, whose envelopes carry both kinds per
+    (dataSource, shard) (spec/topo_stream.proto, message_builder.go).
+    Unify (element_kind column), dedup by element identity, FNV-shard.
+    Shared by the batch pipeline and the streaming foreachBatch twin so the
+    element-stream semantics cannot drift between modes."""
+    comp_u = components.withColumn("element_kind", F.lit("component"))
+    rel_u = relations.withColumn("element_kind", F.lit("relation"))
+    return with_shard_id(
+        dedup_elements(comp_u.unionByName(rel_u, allowMissingColumns=True))
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     webtext_path: str,
@@ -179,14 +193,7 @@ def run_pipeline(
         compiled.relations_flagged, compiled.relations,
         compiled.create_ids.get("relations", []), f"relerr_{run_id}",
     )
-    # Components and relations ride ONE keyed element stream — exactly the
-    # reference's topology stream topic, whose envelopes carry both kinds
-    # per (dataSource, shard) (spec/topo_stream.proto, message_builder.go).
-    # One write == one pass over the mapped input instead of two.
-    comp_u = comp_src.withColumn("element_kind", F.lit("component"))
-    rel_u = rel_src.withColumn("element_kind", F.lit("relation"))
-    element_stream = comp_u.unionByName(rel_u, allowMissingColumns=True)
-    elements_keyed = with_shard_id(dedup_elements(element_stream))
+    elements_keyed = build_element_stream(comp_src, rel_src)
     deletes = with_shard_id(dedup_elements(compiled.deletes))
 
     # Keyed write: partitioned by (data_source, shard_id) — the Kafka
@@ -298,10 +305,15 @@ def run_pipeline(
         else F.lit(default_api_key)
     )
     intake_elements = elements.withColumn("api_key", api_key).drop("payload")
-    write_intake(intake_elements, sinks.path("topology_intake"))
-    sink_counts["topology_intake"] = (
-        sink_counts["topology_components"] + sink_counts["topology_relations"]
+    intake_obs = Observation(f"intake_{run_id}")
+    write_intake(
+        intake_elements.observe(intake_obs, F.count(F.lit(1)).alias("n")),
+        sinks.path("topology_intake"),
     )
+    # the intake is the FULL deduped snapshot (all landed runs), so count
+    # what was actually written — on a resumed run this exceeds this run's
+    # nc+nr
+    sink_counts["topology_intake"] = intake_obs.get["n"]
     elements.unpersist()
     _mark("intake_write")
 

@@ -146,11 +146,10 @@ def run_pipeline_streaming(
     """
     import os
 
-    from ..operators.dedup import dedup_elements
     from ..operators.enrich import enrich_pages
     from ..operators.mapping import apply_mappings, register_sql_functions
     from ..operators.parse import ATTRS_SOURCE_COLS, parse_pages, with_attrs
-    from ..operators.routing import with_shard_id
+    from ..plans.pipeline import build_element_stream
     from ..plans.sinks import SinkCatalog
     from ..session import ensure_semantics_confs
     from ..sources.settings import default_mappings
@@ -178,11 +177,7 @@ def run_pipeline_streaming(
         compiled = apply_mappings(
             mi, mappings, signal="logs", attr_cols=ATTRS_SOURCE_COLS
         )
-        comp_u = compiled.components.withColumn("element_kind", F.lit("component"))
-        rel_u = compiled.relations.withColumn("element_kind", F.lit("relation"))
-        elements = with_shard_id(
-            dedup_elements(comp_u.unionByName(rel_u, allowMissingColumns=True))
-        )
+        elements = build_element_stream(compiled.components, compiled.relations)
         sinks.append(
             elements, "topology_elements_stream",
             partition_by=["data_source", "shard_id"],
