@@ -193,3 +193,95 @@ def run_pipeline_streaming(
     )
     q.awaitTermination()
     return {"micro_batches": len(batches)}
+
+
+def run_settings_stream(
+    spark: SparkSession,
+    snapshots_dir: str,
+    out_root: str,
+    initial=None,
+) -> dict:
+    """S4 streaming twin: the settings-snapshot consumer loop.
+
+    The reference subscribes to a compacted settings topic; every received
+    snapshot triggers DiffSettings + listener notification (metadata
+    publish, tombstones for removed mappings) gated by the change check
+    (snapshot_manager.go:156-214, cache.go:129-182). Here a file stream
+    watches a snapshots directory: each micro-batch applies arriving
+    snapshot JSONs in filename order, short-circuits unchanged ones, and
+    appends metadata records + tombstones exactly like the batch pipeline.
+
+    Returns {applied, skipped_unchanged, removed_total}.
+    """
+    import json as _json
+    import os
+
+    from ..operators.metadata import metadata_tombstones, stream_metadata
+    from ..operators.routing import removal_tombstones
+    from ..plans.sinks import SinkCatalog
+    from ..sources.settings import (
+        diff_settings,
+        mapping_set_from_dict,
+        snapshot_changed,
+    )
+
+    sinks = SinkCatalog(os.path.join(out_root, "sinks"))
+    # restart recovery: the last applied snapshot persists next to the
+    # checkpoint (the consumer-group position analog) so a restarted
+    # watcher keeps diffing against what it last applied
+    last_path = os.path.join(out_root, "last_snapshot.json")
+    if initial is None and os.path.exists(last_path):
+        with open(last_path) as f:
+            initial = mapping_set_from_dict(_json.load(f))
+    state = {"prev": initial, "applied": 0, "skipped": 0, "removed": 0}
+
+    raw = (
+        spark.readStream.format("text")
+        .option("wholetext", True)
+        .option("maxFilesPerTrigger", 1)
+        .load(snapshots_dir)
+        .selectExpr("value", "_metadata.file_path AS file_path")
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = sorted(batch_df.collect(), key=lambda r: r.file_path)
+        for r in rows:  # snapshots are small config documents
+            ms = mapping_set_from_dict(_json.loads(r.value))
+            # version gate (cache.go:129-182): stale re-deliveries (older
+            # version than the applied snapshot) are dropped — the file
+            # source, unlike the compacted topic, cannot guarantee order
+            if state["prev"] is not None and ms.version < state["prev"].version:
+                state["skipped"] += 1
+                continue
+            if not snapshot_changed(state["prev"], ms):
+                state["skipped"] += 1
+                continue
+            removed = (
+                diff_settings(state["prev"], ms) if state["prev"] is not None else []
+            )
+            sinks.overwrite(stream_metadata(spark, ms), "stream_metadata",
+                            partition_by=None)
+            if removed:
+                sinks.append(removal_tombstones(spark, removed), "tombstones",
+                             partition_by=None)
+                sinks.append(metadata_tombstones(spark, removed),
+                             "metadata_tombstones", partition_by=None)
+                state["removed"] += len(removed)
+            state["prev"] = ms
+            state["applied"] += 1
+            os.makedirs(out_root, exist_ok=True)
+            with open(last_path, "w") as f:
+                f.write(r.value)
+
+    q = (
+        raw.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(out_root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        "applied": state["applied"],
+        "skipped_unchanged": state["skipped"],
+        "removed_total": state["removed"],
+    }

@@ -146,3 +146,46 @@ def test_streaming_pipeline_matches_batch(spark, webtext_dir, tmp_path):
     got = elem_set(s_sinks.read(spark, "topology_elements_stream"))
     expected = elem_set(b_sinks.read(spark, "topology_elements"))
     assert got == expected
+
+
+def test_settings_stream_applies_diffs_and_tombstones(spark, tmp_path):
+    """S4 streaming: arriving snapshot files apply in order; unchanged
+    snapshots short-circuit; removals fan out data + metadata tombstones."""
+    import json
+    import shutil
+
+    from sts_opentelemetry_collector_spark.plans.sinks import SinkCatalog
+    from sts_opentelemetry_collector_spark.streaming.jobs import run_settings_stream
+
+    src = str(tmp_path / "snaps")
+    os.makedirs(src)
+    base = json.load(open("fixtures/mappings_v2.json"))
+    v1 = json.loads(json.dumps(base)); v1["version"] = 1
+    v2 = json.loads(json.dumps(base)); v2["version"] = 2  # content-identical
+    v3 = json.loads(json.dumps(base)); v3["version"] = 3
+    removed_id = v3["components"][-1]["identifier"]
+    v3["components"] = v3["components"][:-1]
+    import time
+
+    now = time.time()
+    for i, doc in enumerate((v1, v2, v3)):
+        f = os.path.join(src, f"snap_{i}.json")
+        json.dump(doc, open(f, "w"))
+        os.utime(f, (now + i * 10, now + i * 10))  # file source orders by mtime
+
+    out = str(tmp_path / "settings_out")
+    summary = run_settings_stream(spark, src, out)
+    # v2 bumps version => applied; identical-content-same-version would skip
+    assert summary["applied"] == 3 and summary["removed_total"] == 1
+
+    sinks = SinkCatalog(os.path.join(out, "sinks"))
+    meta = sinks.read(spark, "stream_metadata")
+    assert removed_id not in {r.data_source for r in meta.collect()}
+    ts = sinks.read(spark, "metadata_tombstones").collect()
+    assert [r.data_source for r in ts] == [removed_id]
+    assert sinks.read(spark, "tombstones").count() == 4  # 4 shards
+
+    # re-delivering the SAME snapshot (new file, same content+version) skips
+    shutil.copy(os.path.join(src, "snap_2.json"), os.path.join(src, "snap_3.json"))
+    summary2 = run_settings_stream(spark, src, out)
+    assert summary2["applied"] == 0 or summary2["skipped_unchanged"] >= 1
