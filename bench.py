@@ -96,7 +96,11 @@ def main() -> None:
     from sts_opentelemetry_collector_spark.sources.webtext import write_webtext
 
     n_pages = max(int(6_000_000 * float(sf)), 1000)
-    tmp = tempfile.mkdtemp(prefix="bench_")
+    # RAM-backed scratch: the sandbox's single shared disk adds 2x run-to-
+    # run variance through page-cache state; a real cluster's aggregate
+    # disk bandwidth scales with executors (same argument as BENCH.md)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="bench_", dir=base)
     try:
         wt_path = write_webtext(tmp, n_pages, partitions=int(CPUS) * 2)
 

@@ -1481,21 +1481,24 @@ def q_embedding_near_dup_lsh(spark, sf):
     bucket equi-join, no label blocking, no all-pairs)."""
     from .operators.similarity import near_dup_pairs_lsh
 
-    return near_dup_pairs_lsh(_t(spark, sf, "embeddings"), threshold=0.9)
+    # 8 planes => 256 buckets: bucket population ~n/256 keeps the
+    # within-bucket exact-cosine pass subquadratic at bench scale
+    return near_dup_pairs_lsh(_t(spark, sf, "embeddings"), threshold=0.9, n_planes=8)
 
 
 SQL_NEAR_DUP_LSH = f"""
 WITH p AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
 ), b AS (
-  SELECT vec_id, v, CAST({_lsh_bucket_sql()} AS INT) AS bucket FROM p
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(p.v, p.v))) AS nv,
+         CAST({_lsh_bucket_sql(n_planes=8)} AS INT) AS bucket
+  FROM p
 )
 SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-       round(list_dot_product(a.v, b2.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 4) AS cos_sim
+       round(list_dot_product(a.nv, b2.nv), 4) AS cos_sim
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-WHERE round(list_dot_product(a.v, b2.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 4) >= 0.9
+WHERE round(list_dot_product(a.nv, b2.nv), 4) >= 0.9
 """
 
 

@@ -235,17 +235,19 @@ def near_dup_pairs_lsh(
     — near-dups at cos>=0.9 (theta<=25.8 deg) survive a 4-plane bucket
     ~54% per band; stack bands (like the text MinHash r/b knob) to trade
     compute for recall."""
+    # normalize ONCE per vector: cosine of candidates is then a single
+    # dot fold instead of dot + two norm folds per pair (the folds are
+    # interpreted HOFs — per-pair work is the scale knob here)
+    nv = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") / _norm(F.col("embedding"))
+    )
     t = embeddings.select(
         "vec_id",
-        "embedding",
+        nv.alias("nv"),
         lsh_bucket_expr(F.col("embedding"), n_planes).alias("bucket"),
     )
     a, b = t.alias("a"), t.alias("b")
-    cos = F.round(
-        _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
-        4,
-    )
+    cos = F.round(_dot(F.col("a.nv"), F.col("b.nv")), 4)
     return (
         a.join(b, on="bucket")
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
