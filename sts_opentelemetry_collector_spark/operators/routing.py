@@ -118,3 +118,18 @@ def with_topic(
             F.col(attrs_col).getItem(KAFKA_TOPIC_ATTR), F.lit(default_topic)
         ),
     )
+
+
+KAFKA_KEY_ATTR = "stskafka.key"
+
+
+def with_kafka_key(df: DataFrame, attrs_col: str = "attrs",
+                   default_key_col: str = "external_id") -> DataFrame:
+    """K1: per-record Kafka message key — the `stskafka.key` attr wins,
+    else the element's external id (stskafkaexporter/exporter.go:20-27:
+    attr-keyed records partition the compacted topic; an empty body with
+    this key is the tombstone, see removal_tombstones)."""
+    return df.withColumn(
+        "kafka_key",
+        F.coalesce(F.col(attrs_col).getItem(KAFKA_KEY_ATTR), F.col(default_key_col)),
+    )

@@ -175,3 +175,17 @@ def test_near_dup_plans_have_no_cartesian(spark):
         plan = op(docs)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{op.__name__}: cartesian in plan"
         assert "BroadcastNestedLoopJoin" not in plan, f"{op.__name__}: BNLJ in plan"
+
+
+def test_kafka_key_attr_override(spark):
+    """K1: stskafka.key attr overrides the default element key."""
+    import pyspark.sql.functions as F
+
+    from sts_opentelemetry_collector_spark.operators.routing import with_kafka_key
+
+    df = spark.createDataFrame(
+        [("e1", {"stskafka.key": "custom"}), ("e2", {})],
+        "external_id string, attrs map<string,string>",
+    )
+    got = {r.external_id: r.kafka_key for r in with_kafka_key(df).collect()}
+    assert got == {"e1": "custom", "e2": "e2"}
