@@ -98,8 +98,14 @@ def main() -> None:
     n_pages = max(int(6_000_000 * float(sf)), 1000)
     # RAM-backed scratch: the sandbox's single shared disk adds 2x run-to-
     # run variance through page-cache state; a real cluster's aggregate
-    # disk bandwidth scales with executors (same argument as BENCH.md)
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    # disk bandwidth scales with executors (same argument as BENCH.md).
+    # Only when tmpfs can actually hold it (~3KB/page x input + 2 sink
+    # trees, 4x headroom) — larger SFs fall back to disk.
+    base = None
+    if os.path.isdir("/dev/shm"):
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize > n_pages * 3_000 * 4:
+            base = "/dev/shm"
     tmp = tempfile.mkdtemp(prefix="bench_", dir=base)
     try:
         wt_path = write_webtext(tmp, n_pages, partitions=int(CPUS) * 2)

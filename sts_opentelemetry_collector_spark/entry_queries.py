@@ -1489,11 +1489,12 @@ def q_embedding_near_dup_lsh(spark, sf):
 SQL_NEAR_DUP_LSH = f"""
 WITH p AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-), b AS (
-  SELECT vec_id,
-         list_transform(v, x -> x / sqrt(list_dot_product(p.v, p.v))) AS nv,
+), pn AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n,
          CAST({_lsh_bucket_sql(n_planes=8)} AS INT) AS bucket
   FROM p
+), b AS (
+  SELECT vec_id, list_transform(v, x -> x / n) AS nv, bucket FROM pn
 )
 SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
        round(list_dot_product(a.nv, b2.nv), 4) AS cos_sim

@@ -17,10 +17,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..config import MappingSet
 
+# the compacted metadata topic (metadata_publisher.go:18)
+METADATA_TOPIC = "sts_topology_stream_metadata"
+
 METADATA_SCHEMA = (
     "data_source string, mapping_name string, mapping_kind string, "
-    "snapshot_version int"
+    "snapshot_version int, attrs map<string,string>"
 )
+
+
+def _routing_attrs(identifier: str) -> dict:
+    """Records carry their routing as attrs — exactly how addMetadataRecord
+    targets the compacted topic through the shared Kafka exporter
+    (stskafka.topic / stskafka.key, exporter.go:20-27)."""
+    return {"stskafka.topic": METADATA_TOPIC, "stskafka.key": identifier}
 
 
 def stream_metadata(spark: SparkSession, mappings: MappingSet) -> DataFrame:
@@ -33,7 +43,10 @@ def stream_metadata(spark: SparkSession, mappings: MappingSet) -> DataFrame:
             if m.identifier in seen:
                 continue
             seen.add(m.identifier)
-            rows.append((m.identifier, m.identifier, kind, mappings.version))
+            rows.append(
+                (m.identifier, m.identifier, kind, mappings.version,
+                 _routing_attrs(m.identifier))
+            )
     return spark.createDataFrame(rows, METADATA_SCHEMA)
 
 
@@ -41,5 +54,6 @@ def metadata_tombstones(spark: SparkSession, removed: list[str]) -> DataFrame:
     """Null-value records for removed mappings
     (metadata_publisher.go:102-129): key only, payload absent."""
     return spark.createDataFrame(
-        [(d, True) for d in removed], "data_source string, tombstone boolean"
+        [(d, True, _routing_attrs(d)) for d in removed],
+        "data_source string, tombstone boolean, attrs map<string,string>",
     )

@@ -236,15 +236,22 @@ def near_dup_pairs_lsh(
     ~54% per band; stack bands (like the text MinHash r/b knob) to trade
     compute for recall."""
     # normalize ONCE per vector: cosine of candidates is then a single
-    # dot fold instead of dot + two norm folds per pair (the folds are
-    # interpreted HOFs — per-pair work is the scale knob here)
-    nv = F.transform(
-        F.col("embedding"), lambda x: x.cast("double") / _norm(F.col("embedding"))
-    )
-    t = embeddings.select(
+    # dot fold instead of dot + two norm folds per pair. The norm is
+    # materialized as its own column FIRST — a _norm() embedded in the
+    # transform lambda would be re-folded per element (interpreted HOFs
+    # have no CSE), turning O(dim) into O(dim^2) per vector.
+    base = embeddings.select(
         "vec_id",
-        nv.alias("nv"),
+        "embedding",
+        _norm(F.col("embedding")).alias("_n"),
         lsh_bucket_expr(F.col("embedding"), n_planes).alias("bucket"),
+    )
+    t = base.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") / F.col("_n")
+        ).alias("nv"),
+        "bucket",
     )
     a, b = t.alias("a"), t.alias("b")
     cos = F.round(_dot(F.col("a.nv"), F.col("b.nv")), 4)

@@ -324,11 +324,19 @@ def run_pipeline(
     from ..operators.metadata import metadata_tombstones, stream_metadata
     from ..sources.settings import snapshot_changed
 
+    from ..operators.routing import with_kafka_key, with_topic
+
     if snapshot_changed(previous_mappings, mappings) or not sinks.exists(
         "stream_metadata"
     ):
-        sinks.overwrite(stream_metadata(spark, mappings), "stream_metadata",
-                        partition_by=None)
+        # attr-driven routing through the shared exporter path: records
+        # resolve their topic + message key from stskafka.* attrs (K1/R4)
+        meta_routed = with_kafka_key(
+            with_topic(stream_metadata(spark, mappings),
+                       default_topic="sts_topology_stream"),
+            default_key_col="data_source",
+        )
+        sinks.overwrite(meta_routed, "stream_metadata", partition_by=["topic"])
     # record-error counts were observed on the element writes above —
     # materialize the tiny summary table driver-side, no extra scan
     err_rows = []

@@ -211,7 +211,8 @@ def run_settings_stream(
     snapshot JSONs in filename order, short-circuits unchanged ones, and
     appends metadata records + tombstones exactly like the batch pipeline.
 
-    Returns {applied, skipped_unchanged, removed_total}.
+    Returns {applied, skipped_unchanged, skipped_stale, parse_errors,
+    removed_total}.
     """
     import json as _json
     import os
@@ -233,7 +234,8 @@ def run_settings_stream(
     if initial is None and os.path.exists(last_path):
         with open(last_path) as f:
             initial = mapping_set_from_dict(_json.load(f))
-    state = {"prev": initial, "applied": 0, "skipped": 0, "removed": 0}
+    state = {"prev": initial, "applied": 0, "unchanged": 0, "stale": 0,
+             "bad": 0, "removed": 0}
 
     raw = (
         spark.readStream.format("text")
@@ -244,17 +246,25 @@ def run_settings_stream(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        rows = sorted(batch_df.collect(), key=lambda r: r.file_path)
-        for r in rows:  # snapshots are small config documents
-            ms = mapping_set_from_dict(_json.loads(r.value))
+        # a malformed/half-written snapshot must not wedge the stream: the
+        # reference consumer drops bad messages and keeps consuming
+        parsed = []
+        for r in batch_df.collect():  # snapshots are small config documents
+            try:
+                parsed.append((mapping_set_from_dict(_json.loads(r.value)), r.value))
+            except Exception:
+                state["bad"] += 1
+        # apply in VERSION order (the topic guarantees order; the file
+        # source does not — lexicographic paths put snap_10 before snap_2)
+        parsed.sort(key=lambda t: t[0].version)
+        for ms, raw_doc in parsed:
             # version gate (cache.go:129-182): stale re-deliveries (older
-            # version than the applied snapshot) are dropped — the file
-            # source, unlike the compacted topic, cannot guarantee order
+            # version than the applied snapshot) are dropped
             if state["prev"] is not None and ms.version < state["prev"].version:
-                state["skipped"] += 1
+                state["stale"] += 1
                 continue
             if not snapshot_changed(state["prev"], ms):
-                state["skipped"] += 1
+                state["unchanged"] += 1
                 continue
             removed = (
                 diff_settings(state["prev"], ms) if state["prev"] is not None else []
@@ -262,16 +272,22 @@ def run_settings_stream(
             sinks.overwrite(stream_metadata(spark, ms), "stream_metadata",
                             partition_by=None)
             if removed:
-                sinks.append(removal_tombstones(spark, removed), "tombstones",
-                             partition_by=None)
-                sinks.append(metadata_tombstones(spark, removed),
-                             "metadata_tombstones", partition_by=None)
+                # version-scoped overwrite => re-applying the same snapshot
+                # after a crash (sink landed, last_snapshot.json did not)
+                # is idempotent, never doubling tombstone rows
+                vdir = f"version={ms.version}"
+                removal_tombstones(spark, removed).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(sinks.path("tombstones"), vdir))
+                metadata_tombstones(spark, removed).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(sinks.path("metadata_tombstones"), vdir))
                 state["removed"] += len(removed)
             state["prev"] = ms
             state["applied"] += 1
             os.makedirs(out_root, exist_ok=True)
             with open(last_path, "w") as f:
-                f.write(r.value)
+                f.write(raw_doc)
 
     q = (
         raw.writeStream.foreachBatch(process)
@@ -282,6 +298,8 @@ def run_settings_stream(
     q.awaitTermination()
     return {
         "applied": state["applied"],
-        "skipped_unchanged": state["skipped"],
+        "skipped_unchanged": state["unchanged"],
+        "skipped_stale": state["stale"],
+        "parse_errors": state["bad"],
         "removed_total": state["removed"],
     }

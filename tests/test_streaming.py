@@ -185,7 +185,14 @@ def test_settings_stream_applies_diffs_and_tombstones(spark, tmp_path):
     assert [r.data_source for r in ts] == [removed_id]
     assert sinks.read(spark, "tombstones").count() == 4  # 4 shards
 
-    # re-delivering the SAME snapshot (new file, same content+version) skips
+    # re-delivering the SAME snapshot (new file, same content+version)
+    # skips, and a malformed file is dropped without wedging the stream
     shutil.copy(os.path.join(src, "snap_2.json"), os.path.join(src, "snap_3.json"))
+    with open(os.path.join(src, "snap_4_garbage.json"), "w") as f:
+        f.write("{not json")
     summary2 = run_settings_stream(spark, src, out)
-    assert summary2["applied"] == 0 or summary2["skipped_unchanged"] >= 1
+    assert summary2["applied"] == 0
+    assert summary2["skipped_unchanged"] + summary2["skipped_stale"] >= 1
+    assert summary2["parse_errors"] == 1
+    # tombstones stayed idempotent (version-scoped overwrite): still 4
+    assert sinks.read(spark, "tombstones").count() == 4
