@@ -53,18 +53,27 @@ def _orphan_runs(spark, sinks: SinkCatalog, manifest: Manifest, sink_name: str) 
     return sorted(on_disk - committed)
 
 
-def build_element_stream(components: "DataFrame", relations: "DataFrame") -> "DataFrame":
-    """Components and relations ride ONE keyed element stream — exactly the
-    reference's topology stream topic, whose envelopes carry both kinds per
+def build_element_stream(
+    components: "DataFrame",
+    relations: "DataFrame",
+    deletes: "DataFrame | None" = None,
+) -> "DataFrame":
+    """Components, relations, and removal markers ride ONE keyed element
+    stream — exactly the reference's topology stream topic, whose messages
+    carry every element kind (including TopologyStreamRemove) per
     (dataSource, shard) (spec/topo_stream.proto, message_builder.go).
     Unify (element_kind column), dedup by element identity, FNV-shard.
     Shared by the batch pipeline and the streaming foreachBatch twin so the
     element-stream semantics cannot drift between modes."""
     comp_u = components.withColumn("element_kind", F.lit("component"))
     rel_u = relations.withColumn("element_kind", F.lit("relation"))
-    return with_shard_id(
-        dedup_elements(comp_u.unionByName(rel_u, allowMissingColumns=True))
-    )
+    unified = comp_u.unionByName(rel_u, allowMissingColumns=True)
+    if deletes is not None:
+        unified = unified.unionByName(
+            deletes.withColumn("element_kind", F.lit("delete")),
+            allowMissingColumns=True,
+        )
+    return with_shard_id(dedup_elements(unified))
 
 
 def run_pipeline(
@@ -193,8 +202,7 @@ def run_pipeline(
         compiled.relations_flagged, compiled.relations,
         compiled.create_ids.get("relations", []), f"relerr_{run_id}",
     )
-    elements_keyed = build_element_stream(comp_src, rel_src)
-    deletes = with_shard_id(dedup_elements(compiled.deletes))
+    elements_keyed = build_element_stream(comp_src, rel_src, compiled.deletes)
 
     # Keyed write: partitioned by (data_source, shard_id) — the Kafka
     # partition-ordering contract; files land pre-clustered per stream.
@@ -222,6 +230,7 @@ def run_pipeline(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("element_kind") == "component", 1).otherwise(0)).alias("nc"),
             F.sum(F.when(F.col("element_kind") == "relation", 1).otherwise(0)).alias("nr"),
+            F.sum(F.when(F.col("element_kind") == "delete", 1).otherwise(0)).alias("nd"),
         ),
         "topology_elements",
         partition_by=part_cols,
@@ -230,26 +239,32 @@ def run_pipeline(
     sink_counts["topology_elements"] = got["n"]
     sink_counts["topology_components"] = int(got["nc"] or 0)
     sink_counts["topology_relations"] = int(got["nr"] or 0)
+    sink_counts["topology_deletes"] = int(got["nd"] or 0)
     _mark("elements_write")
-    _write(deletes, "topology_deletes")
-    _mark("deletes_write")
 
     # ---- A6 + R6 + K6 + metadata run off ONE unified element stream.
     # Topology elements are dimension-scale (bounded by the mapped entity
     # universe, not the page count), so reading the just-landed sinks back
     # is a pruned scan over tiny tables — no recompute of the page scan.
     elements_back = sinks.read(spark, "topology_elements")
-    payload = F.when(
-        F.col("element_kind") == "component",
-        F.to_json(F.struct("external_id", "name", "type_name")),
-    ).otherwise(
-        F.to_json(
-            F.struct("external_id", "source_identifier", "target_identifier",
-                     "type_name")
+    payload = (
+        F.when(
+            F.col("element_kind") == "component",
+            F.to_json(F.struct("external_id", "name", "type_name")),
         )
+        .when(
+            F.col("element_kind") == "relation",
+            F.to_json(
+                F.struct("external_id", "source_identifier",
+                         "target_identifier", "type_name")
+            ),
+        )
+        # removal marker: key-only payload (TopologyStreamRemove)
+        .otherwise(F.to_json(F.struct("external_id")))
     )
     elements = elements_back.select(
-        "data_source", "shard_id", "external_id", payload.alias("payload")
+        "data_source", "shard_id", "external_id", "element_kind",
+        payload.alias("payload"),
     ).dropDuplicates(["data_source", "shard_id", "external_id"])
     # ^ collection-map semantics: keyed by external_id per stream, so a
     # resumed run re-reading appended sinks stays idempotent.
@@ -304,7 +319,13 @@ def run_pipeline(
         if key_map is not None
         else F.lit(default_api_key)
     )
-    intake_elements = elements.withColumn("api_key", api_key).drop("payload")
+    # the intake POST carries components+relations only; removals are
+    # implicit in the reference's full-snapshot semantics
+    intake_elements = (
+        elements.where(F.col("element_kind") != "delete")
+        .withColumn("api_key", api_key)
+        .drop("payload")
+    )
     intake_obs = Observation(f"intake_{run_id}")
     write_intake(
         intake_elements.observe(intake_obs, F.count(F.lit(1)).alias("n")),

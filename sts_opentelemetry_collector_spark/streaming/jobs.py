@@ -177,7 +177,9 @@ def run_pipeline_streaming(
         compiled = apply_mappings(
             mi, mappings, signal="logs", attr_cols=ATTRS_SOURCE_COLS
         )
-        elements = build_element_stream(compiled.components, compiled.relations)
+        elements = build_element_stream(
+            compiled.components, compiled.relations, compiled.deletes
+        )
         sinks.append(
             elements, "topology_elements_stream",
             partition_by=["data_source", "shard_id"],

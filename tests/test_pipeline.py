@@ -176,7 +176,10 @@ def test_envelopes_streams_intake_metadata_sinks(spark, webtext_dir, tmp_path):
     env = sinks.read(spark, "topology_envelopes")
     assert sc["topology_envelopes"] == env.count() > 0
     total_elements = env.agg(F.sum("element_count")).first()[0]
-    assert total_elements == sc["topology_components"] + sc["topology_relations"]
+    assert total_elements == (
+        sc["topology_components"] + sc["topology_relations"]
+        + sc["topology_deletes"]
+    )
 
     # R6: first run sees every stream as new; second run over the same
     # input sees none
