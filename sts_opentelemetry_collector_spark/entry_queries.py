@@ -1296,19 +1296,7 @@ def q_ann_lsh_buckets(spark, sf):
     return lsh_buckets(_t(spark, sf, "embeddings"), n_planes=4)
 
 
-SQL_ANN_LSH = """
-WITH p AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-), b AS (
-  SELECT vec_id,
-    (CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * (CASE WHEN (i*7 + 0*13) % 3 < 2 THEN 1.0 ELSE -1.0 END))) > 0 THEN 1 ELSE 0 END
-   + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * (CASE WHEN (i*7 + 1*13) % 3 < 2 THEN 1.0 ELSE -1.0 END))) > 0 THEN 2 ELSE 0 END
-   + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * (CASE WHEN (i*7 + 2*13) % 3 < 2 THEN 1.0 ELSE -1.0 END))) > 0 THEN 4 ELSE 0 END
-   + CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * (CASE WHEN (i*7 + 3*13) % 3 < 2 THEN 1.0 ELSE -1.0 END))) > 0 THEN 8 ELSE 0 END) AS bucket
-  FROM p
-)
-SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS bucket_size FROM b GROUP BY 1
-"""
+# NOTE: defined lazily below (after _lsh_bucket_sql) — see SQL_ANN_LSH.
 
 
 def q_ann_ivf_assign(spark, sf):
@@ -1336,20 +1324,16 @@ SELECT centroid_id, COUNT(*) AS cluster_size FROM best GROUP BY centroid_id
 
 
 def q_embedding_near_dup(spark, sf):
-    return near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.9)
+    """Per-label near-dup pair counts. Candidates come from the stacked-band
+    LSH generator (label filters post-candidates) — the all-pairs
+    label-blocked self-join this query used in rounds 1-2 is retired; the
+    oracle mirrors the same band/bucket candidate restriction."""
+    return near_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.9, n_planes=8, bands=2
+    )
 
 
-SQL_NEAR_DUP = """
-WITH p AS (
-  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-), pairs AS (
-  SELECT a.label AS label,
-         round(list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
-  FROM p a JOIN p b ON a.label = b.label AND a.vec_id < b.vec_id
-)
-SELECT label, COUNT(*) AS near_dup_pairs FROM pairs WHERE cos_sim >= 0.9 GROUP BY label
-"""
+# NOTE: defined lazily below (after _lsh_bucket_sql) — see SQL_NEAR_DUP.
 
 
 def q_ann_ivf_topk(spark, sf):
@@ -1444,14 +1428,30 @@ LEFT JOIN (
 """
 
 
-def _lsh_bucket_sql(var: str = "v", n_planes: int = 4) -> str:
-    terms = " + ".join(
-        f"CASE WHEN list_sum(list_transform(range(1, 65), i -> {var}[i] * "
-        f"(CASE WHEN (i*7 + {j}*13) % 3 < 2 THEN 1.0 ELSE -1.0 END))) > 0 "
-        f"THEN {1 << j} ELSE 0 END"
-        for j in range(n_planes)
-    )
-    return f"({terms})"
+def _lsh_bucket_sql(var: str = "v", n_planes: int = 4, plane_offset: int = 0) -> str:
+    """DuckDB mirror of similarity.lsh_bucket_expr: the ±1 hyperplanes are
+    generated by the SAME python function (plane_signs) and embedded as
+    list literals, so both engines fold identical doubles left-to-right."""
+    from .operators.similarity import plane_signs
+
+    terms = []
+    for j in range(n_planes):
+        signs = "[" + ", ".join(str(s) for s in plane_signs(plane_offset + j)) + "]"
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(range(1, 65), i -> {var}[i] * "
+            f"({signs})[i])) > 0 THEN {1 << j} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+SQL_ANN_LSH = f"""
+WITH p AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, CAST({_lsh_bucket_sql()} AS INT) AS bucket FROM p
+)
+SELECT bucket, COUNT(*) AS bucket_size FROM b GROUP BY 1
+"""
 
 
 def q_ann_lsh_topk(spark, sf):
@@ -1477,29 +1477,66 @@ ORDER BY cos_sim DESC, b.vec_id LIMIT 10
 
 
 def q_embedding_near_dup_lsh(spark, sf):
-    """Embedding near-dup, sign-LSH candidate generation (the scale path:
-    bucket equi-join, no label blocking, no all-pairs)."""
+    """Embedding near-dup, stacked-band sign-LSH candidate generation (the
+    scale path: (band, bucket) equi-joins, no label blocking, no all-pairs;
+    two disjoint 8-plane bands OR'd together ~doubles recall at cos>=0.9
+    for one extra linear probe)."""
     from .operators.similarity import near_dup_pairs_lsh
 
-    # 8 planes => 256 buckets: bucket population ~n/256 keeps the
+    # 8 planes => 256 buckets/band: bucket population ~n/256 keeps the
     # within-bucket exact-cosine pass subquadratic at bench scale
-    return near_dup_pairs_lsh(_t(spark, sf, "embeddings"), threshold=0.9, n_planes=8)
+    return near_dup_pairs_lsh(
+        _t(spark, sf, "embeddings"), threshold=0.9, n_planes=8, bands=2
+    )
 
 
-SQL_NEAR_DUP_LSH = f"""
+def _banded_lsh_cte(n_planes: int = 8, bands: int = 2, extra: str = "") -> str:
+    """Shared candidate CTE for the stacked-band near-dup oracles: one
+    (band, bucket) row per vector per band, normalized vectors, DISTINCT
+    candidate pairs above threshold (a pair colliding in several bands
+    counts once). `extra` carries additional projected columns (e.g.
+    ', label')."""
+    bucket_cols = ",\n         ".join(
+        f"CAST({_lsh_bucket_sql(n_planes=n_planes, plane_offset=b * n_planes)} AS INT)"
+        f" AS bucket{b}"
+        for b in range(bands)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT vec_id{extra}, nv, {b} AS band, bucket{b} AS bucket FROM b"
+        for b in range(bands)
+    )
+    extra_a = "".join(f", a.{c.strip()} AS {c.strip()}_a" for c in extra.split(",") if c.strip())
+    extra_b = "".join(f", b2.{c.strip()} AS {c.strip()}_b" for c in extra.split(",") if c.strip())
+    return f"""
 WITH p AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+  SELECT vec_id{extra}, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
 ), pn AS (
-  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n,
-         CAST({_lsh_bucket_sql(n_planes=8)} AS INT) AS bucket
+  SELECT vec_id{extra}, v, sqrt(list_dot_product(v, v)) AS n,
+         {bucket_cols}
   FROM p
 ), b AS (
-  SELECT vec_id, list_transform(v, x -> x / n) AS nv, bucket FROM pn
+  SELECT vec_id{extra}, list_transform(v, x -> x / n) AS nv,
+         {", ".join(f"bucket{b}" for b in range(bands))}
+  FROM pn
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b{extra_a}{extra_b},
+         round(list_dot_product(a.nv, b2.nv), 4) AS cos_sim
+  FROM banded a JOIN banded b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                             AND a.vec_id < b2.vec_id
+  WHERE round(list_dot_product(a.nv, b2.nv), 4) >= 0.9
 )
-SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-       round(list_dot_product(a.nv, b2.nv), 4) AS cos_sim
-FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-WHERE round(list_dot_product(a.nv, b2.nv), 4) >= 0.9
+"""
+
+
+SQL_NEAR_DUP_LSH = _banded_lsh_cte() + """
+SELECT vec_a, vec_b, cos_sim FROM cand
+"""
+
+SQL_NEAR_DUP = _banded_lsh_cte(extra=", label") + """
+SELECT label_a AS label, COUNT(*) AS near_dup_pairs
+FROM cand WHERE label_a = label_b GROUP BY 1
 """
 
 

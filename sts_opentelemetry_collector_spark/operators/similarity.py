@@ -16,6 +16,8 @@ with the oracle after rounding.
 
 from __future__ import annotations
 
+import hashlib
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -57,24 +59,28 @@ def cosine_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
-def _plane_sign(i_col, j: int):
-    """Deterministic ±1 hyperplane component: +1 iff (i*7 + j*13) % 3 < 2.
-    1-based dim index i (element_at convention), plane index j."""
-    return F.when(((i_col * 7 + F.lit(j * 13)) % 3) < 2, F.lit(1.0)).otherwise(F.lit(-1.0))
+def plane_signs(plane: int, dim: int = DIM) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane, engine-portable: the sign
+    of dim i in plane j derives from md5(f"{j}:{i}"). Computed ONCE on the
+    driver and embedded as literals in both the Spark plan and the DuckDB
+    oracle SQL, so every plane is genuinely independent. (The former
+    arithmetic family ((i*7 + j*13) % 3 < 2) repeated with period 3 in j —
+    planes j and j+3 were the SAME hyperplane, so an "8-plane" bucket had
+    only 3 independent bits = 8 effective buckets, wrecking both recall
+    math and bucket balance.)"""
+    return [
+        1.0 if hashlib.md5(f"{plane}:{i}".encode()).digest()[0] % 2 == 0 else -1.0
+        for i in range(dim)
+    ]
 
 
-def lsh_bucket_expr(emb_col, n_planes: int = 4):
-    """Sign-LSH bucket id: bit j set iff dot(v, plane_j) > 0."""
-    def plane_dot(j: int):
-        # single-arg-pair lambda via closure: a default parameter would be
-        # mis-parsed by PySpark's HOF arity inspection
-        return lambda acc, i: acc + F.element_at(emb_col, i.cast("int")).cast(
-            "double"
-        ) * _plane_sign(i, j)
-
+def lsh_bucket_expr(emb_col, n_planes: int = 4, plane_offset: int = 0):
+    """Sign-LSH bucket id: bit j set iff dot(v, plane_{offset+j}) > 0.
+    plane_offset selects a disjoint plane set per band (band stacking)."""
     bucket = F.lit(0)
     for j in range(n_planes):
-        dot_j = F.aggregate(F.sequence(F.lit(1), F.lit(DIM)), F.lit(0.0), plane_dot(j))
+        signs = F.array(*[F.lit(s) for s in plane_signs(plane_offset + j)])
+        dot_j = _dot(emb_col, signs)
         bucket = bucket + F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket.cast("int")
 
@@ -202,66 +208,93 @@ def ivf_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
-def near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95, block_col: str = "label"
-) -> DataFrame:
-    """Embedding-cosine near-dup pair counts per block (label-blocked
-    all-pairs; at scale the block key is the LSH bucket)."""
-    t = embeddings.select(
-        F.col("vec_id"), F.col(block_col).alias("_b"), F.col("embedding")
-    )
-    a, b = t.alias("a"), t.alias("b")
-    cos = F.round(
-        _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
-        4,
-    )
-    return (
-        a.join(b, (F.col("a._b") == F.col("b._b")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a._b").alias("label"), cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= threshold)
-        .groupBy("label")
-        .agg(F.count(F.lit(1)).alias("near_dup_pairs"))
-    )
-
-
 def near_dup_pairs_lsh(
-    embeddings: DataFrame, threshold: float = 0.9, n_planes: int = 4
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    bands: int = 1,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Embedding near-dup, LSH-candidate form — the 100 TB path promised in
-    near_dup_pairs' docstring: candidate pairs come from an equi-join on
-    the sign-LSH bucket (never all-pairs / label-blocked), then exact
-    cosine filters. Sign-LSH recall: P(same bucket) = (1 - theta/pi)^planes
-    — near-dups at cos>=0.9 (theta<=25.8 deg) survive a 4-plane bucket
-    ~54% per band; stack bands (like the text MinHash r/b knob) to trade
-    compute for recall."""
+    """Embedding near-dup via stacked sign-LSH bands — the 100 TB path:
+    candidate pairs come from equi-joins on (band, bucket) — never
+    all-pairs — then exact cosine filters.
+
+    Band stacking (OR-construction, same knob as the text MinHash b×r in
+    textops.py): each band uses a DISJOINT set of n_planes hyperplanes
+    (plane_offset = band * n_planes); a pair is a candidate if it collides
+    in ANY band, and duplicates across bands are dropped with one distinct.
+    Recall at similarity cos=s: 1 - (1 - (1 - theta/pi)^planes)^bands with
+    theta = acos(s) — e.g. at cos>=0.9 an 8-plane band catches ~29%, two
+    bands ~50%, four ~75%; at cos>=0.99 one band already catches ~81%.
+    Extra compute is linear in bands (one more explode row + equi-join
+    probe per band), never quadratic.
+
+    extra_cols are carried through to the output as <col>_a / <col>_b —
+    the label post-filter path for blocked variants without a re-join.
+    """
     # normalize ONCE per vector: cosine of candidates is then a single
     # dot fold instead of dot + two norm folds per pair. The norm is
     # materialized as its own column FIRST — a _norm() embedded in the
     # transform lambda would be re-folded per element (interpreted HOFs
     # have no CSE), turning O(dim) into O(dim^2) per vector.
+    band_buckets = F.array(
+        *[
+            lsh_bucket_expr(F.col("embedding"), n_planes, plane_offset=b * n_planes)
+            for b in range(bands)
+        ]
+    )
     base = embeddings.select(
         "vec_id",
+        *extra_cols,
         "embedding",
         _norm(F.col("embedding")).alias("_n"),
-        lsh_bucket_expr(F.col("embedding"), n_planes).alias("bucket"),
+        band_buckets.alias("_bb"),
     )
     t = base.select(
         "vec_id",
+        *extra_cols,
         F.transform(
             F.col("embedding"), lambda x: x.cast("double") / F.col("_n")
         ).alias("nv"),
-        "bucket",
+        F.posexplode(F.col("_bb")).alias("band", "bucket"),
     )
     a, b = t.alias("a"), t.alias("b")
     cos = F.round(_dot(F.col("a.nv"), F.col("b.nv")), 4)
+    out_cols = [
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in extra_cols],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in extra_cols],
+        cos.alias("cos_sim"),
+    ]
     return (
-        a.join(b, on="bucket")
+        a.join(b, on=["band", "bucket"])
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_sim"),
-        )
+        .select(*out_cols)
         .where(F.col("cos_sim") >= threshold)
+        # a pair colliding in several bands appears once (cos_sim is
+        # deterministic per pair, so distinct-on-all-columns == pair dedup)
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    n_planes: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-dup pair counts per block. Candidates are
+    delegated to the stacked-band LSH generator (block_col rides along as
+    a carried column and filters AFTER candidate generation) — the former
+    label-blocked all-pairs self-join melted at ~n^2/|labels| pairs; this
+    plan is bucket-equi-join-bounded like every other near-dup operator."""
+    cand = near_dup_pairs_lsh(
+        embeddings, threshold, n_planes, bands, extra_cols=(block_col,)
+    )
+    return (
+        cand.where(F.col(f"{block_col}_a") == F.col(f"{block_col}_b"))
+        .groupBy(F.col(f"{block_col}_a").alias(block_col))
+        .agg(F.count(F.lit(1)).alias("near_dup_pairs"))
     )

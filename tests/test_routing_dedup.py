@@ -176,6 +176,66 @@ def test_near_dup_plans_have_no_cartesian(spark):
         assert "CartesianProduct" not in plan, f"{op.__name__}: cartesian in plan"
         assert "BroadcastNestedLoopJoin" not in plan, f"{op.__name__}: BNLJ in plan"
 
+    # the embedding near-dup family too: since r3, even the label-blocked
+    # form delegates candidates to the banded LSH equi-join — no all-pairs
+    # plan is reachable from the catalog
+    from sts_opentelemetry_collector_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_pairs_lsh,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13) - 6.0 for d in range(64)], f"l{i % 3}")
+         for i in range(30)],
+        "vec_id long, embedding array<float>, label string",
+    )
+    for df, nm in (
+        (near_dup_pairs_lsh(emb, bands=2, n_planes=8), "near_dup_pairs_lsh"),
+        (near_dup_pairs(emb), "near_dup_pairs"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{nm}: cartesian in plan"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{nm}: BNLJ in plan"
+
+
+def test_lsh_band_stacking_recall(spark):
+    """OR-construction invariant: stacked bands can only ADD candidate
+    pairs (union of per-band collisions), and every single-band pair
+    survives in the stacked result with the same cosine."""
+    import numpy as np
+
+    from sts_opentelemetry_collector_spark.operators.similarity import (
+        near_dup_pairs_lsh,
+        plane_signs,
+    )
+
+    # planes must be genuinely distinct (the r2 arithmetic family repeated
+    # with period 3, silently collapsing multi-plane buckets)
+    sigs = {tuple(plane_signs(j)) for j in range(16)}
+    assert len(sigs) == 16
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + rng.normal(scale=0.05, size=64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    one = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in near_dup_pairs_lsh(emb, threshold=0.9, n_planes=8, bands=1).collect()
+    }
+    two = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in near_dup_pairs_lsh(emb, threshold=0.9, n_planes=8, bands=2).collect()
+    }
+    assert set(one) <= set(two)
+    assert all(two[k] == v for k, v in one.items())
+    # no duplicate pair rows despite multi-band collisions
+    pairs = near_dup_pairs_lsh(emb, threshold=0.9, n_planes=8, bands=2)
+    assert pairs.count() == pairs.select("vec_a", "vec_b").distinct().count()
+
 
 def test_kafka_key_attr_override(spark):
     """K1: stskafka.key attr overrides the default element key."""
