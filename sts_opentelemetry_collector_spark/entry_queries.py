@@ -839,6 +839,8 @@ def q_sg_edge_metrics(spark, sf):
 # The oracle skips the spans union + self-join: client and server rows of a
 # pair derive from the SAME event row, so the (trace_id, join_key) equi-join
 # is 1:1 by construction and the edge columns are direct expressions.
+# Namespace / instance-id / peer columns mirror spans_from_events' resource
+# attr derivation exactly (sources/spans.py).
 _SG_EDGES_CTE = """
 WITH e AS (
   SELECT event_id, user_id, event_type,
@@ -849,16 +851,38 @@ WITH e AS (
          list_value('frontend','checkout','payments','cart','shipping','auth') AS s
   FROM events
   WHERE NOT (event_type='click' AND event_id%5=0)
+), e2 AS (
+  SELECT *,
+         s[CAST(user_id%6 AS INT)+1] AS client_svc,
+         s[CAST((user_id+1+event_id%3)%6 AS INT)+1] AS server_svc,
+         CASE WHEN (is_db OR is_async) AND event_id%7=0
+              THEN 'peer-' || CAST(event_id%3 AS VARCHAR) END AS peer
+  FROM e
 ), edges AS (
-  SELECT s[CAST(user_id%6 AS INT)+1] AS client,
-         CASE WHEN is_db THEN (CASE WHEN event_id%2=0 THEN 'postgres' ELSE 'redis' END)
-              ELSE s[CAST((user_id+1+event_id%3)%6 AS INT)+1] END AS server,
+  SELECT client_svc AS client,
+         CASE WHEN is_db THEN COALESCE(peer, CASE WHEN event_id%2=0 THEN 'postgres' ELSE 'redis' END)
+              ELSE server_svc END AS server,
          CASE WHEN is_db THEN 'database'
               WHEN is_async THEN 'messaging_system' ELSE '' END AS connection_type,
-         CASE WHEN is_db THEN cfail ELSE (cfail OR sfail) END AS failed
-  FROM e
+         CASE WHEN is_db THEN cfail ELSE (cfail OR sfail) END AS failed,
+         'ns-' || CAST(user_id%2 AS VARCHAR) AS client_namespace,
+         CASE WHEN is_db THEN NULL
+              ELSE 'ns-' || CAST((user_id+1)%2 AS VARCHAR) END AS server_namespace,
+         CASE WHEN event_id%4=0
+              THEN client_svc || '-i' || CAST(user_id%3 AS VARCHAR) END AS client_instance_id,
+         CASE WHEN is_db THEN NULL WHEN event_id%3=0
+              THEN server_svc || '-i' || CAST(user_id%2 AS VARCHAR) END AS server_instance_id,
+         peer AS client_peer_service
+  FROM e2
 )
 """
+
+# the connector's client_/server_-prefixed dimension attrs consumed by
+# AddConnection (topology.go:199-226)
+_CONN_DIMS = [
+    "client_namespace", "server_namespace",
+    "client_instance_id", "server_instance_id", "client_peer_service",
+]
 
 SQL_SG_EDGE_METRICS = _SG_EDGES_CTE + """
 SELECT client, server, connection_type,
@@ -869,31 +893,94 @@ FROM edges GROUP BY client, server, connection_type
 
 
 def q_sg_relations(spark, sf):
-    """A8: service-graph metrics -> topology relations
-    (ststopologyexporter/internal/topology.go:200-320)."""
+    """A8: service-graph metrics -> topology relations — the faithful
+    AddConnection with namespace-scoped serviceInstance URNs, instance-id
+    name fallback, and peer-service target overrides (including the extra
+    consumer->peer relation for async edges)
+    (ststopologyexporter/internal/topology.go:199-333)."""
     from .operators.service_graph import metrics_to_relations, service_graph_metrics
     from .sources.spans import spans_from_events
 
-    counters, _ = service_graph_metrics(spans_from_events(_t(spark, sf, "events")))
+    counters, _ = service_graph_metrics(
+        spans_from_events(_t(spark, sf, "events")), extra_dims=_CONN_DIMS
+    )
     return metrics_to_relations(counters)
 
 
-SQL_SG_RELATIONS = _SG_EDGES_CTE + """
+_SG_CONN_CTE = _SG_EDGES_CTE + """
 , counters AS (
-  SELECT client, server, connection_type,
-         COUNT(*) AS req_total,
-         CAST(SUM(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS req_failed_total
-  FROM edges GROUP BY client, server, connection_type
+  SELECT client, server, connection_type, client_namespace, server_namespace,
+         client_instance_id, server_instance_id, client_peer_service,
+         COUNT(*) AS req_total
+  FROM edges
+  GROUP BY client, server, connection_type, client_namespace, server_namespace,
+           client_instance_id, server_instance_id, client_peer_service
+), conn AS (
+  SELECT *,
+         'urn:opentelemetry:namespace/' || client_namespace || ':service/' || client
+           || ':serviceInstance/' || COALESCE(client_instance_id, client) AS source_id,
+         'urn:opentelemetry:namespace/' || server_namespace || ':service/' || server
+           || ':serviceInstance/' || COALESCE(server_instance_id, server) AS server_target,
+         'urn:opentelemetry:namespace/' || client_namespace || ':service/'
+           || client_peer_service AS peer_target,
+         'urn:opentelemetry:namespace/' || client_namespace || ':service/' || client
+           || ':database/' || server AS db_target
+  FROM counters
+  WHERE client IS NOT NULL AND client_namespace IS NOT NULL AND server IS NOT NULL
+    AND connection_type IN ('', 'messaging_system', 'database')
 )
-SELECT 'urn:service/' || client || '-' || 'urn:service/' || server AS external_id,
-       'urn:service/' || client AS source_identifier,
-       'urn:service/' || server AS target_identifier,
-       CASE WHEN connection_type = 'messaging_system' THEN 'async_calls'
-            WHEN connection_type = 'database' THEN 'uses'
-            ELSE 'calls' END AS type_name,
-       'CONNECTION' AS dependency_type,
-       req_total, req_failed_total
-FROM counters
+"""
+
+SQL_SG_RELATIONS = _SG_CONN_CTE + """
+, rels AS (
+  SELECT source_id, server_target AS target_id, 'synchronous' AS type_name
+  FROM conn WHERE connection_type = '' AND server_namespace IS NOT NULL
+  UNION ALL
+  SELECT source_id,
+         CASE WHEN client_peer_service IS NOT NULL THEN peer_target
+              ELSE server_target END,
+         'asynchronous'
+  FROM conn WHERE connection_type = 'messaging_system' AND server_namespace IS NOT NULL
+  UNION ALL
+  SELECT server_target, peer_target, 'asynchronous'
+  FROM conn WHERE connection_type = 'messaging_system' AND server_namespace IS NOT NULL
+    AND client_peer_service IS NOT NULL
+  UNION ALL
+  SELECT source_id,
+         CASE WHEN client_peer_service IS NOT NULL THEN peer_target
+              ELSE db_target END,
+         'database'
+  FROM conn WHERE connection_type = 'database'
+)
+SELECT DISTINCT source_id || '-' || target_id AS external_id,
+       source_id AS source_identifier,
+       target_id AS target_identifier,
+       type_name
+FROM rels
+"""
+
+
+def q_sg_components(spark, sf):
+    """A8: the database component rows emitted alongside 'database'
+    relations when no peer.service names the target
+    (ststopologyexporter/internal/topology.go:252-269)."""
+    from .operators.service_graph import metrics_to_components, service_graph_metrics
+    from .sources.spans import spans_from_events
+
+    counters, _ = service_graph_metrics(
+        spans_from_events(_t(spark, sf, "events")), extra_dims=_CONN_DIMS
+    )
+    return metrics_to_components(counters)
+
+
+SQL_SG_COMPONENTS = _SG_CONN_CTE + """
+SELECT DISTINCT db_target AS external_id,
+       'database' AS type_name,
+       server AS name,
+       'urn:stackpack:common:layer:databases' AS layer,
+       client_namespace AS tag_service_namespace,
+       client AS tag_service_name
+FROM conn WHERE connection_type = 'database' AND client_peer_service IS NULL
 """
 
 
@@ -1577,6 +1664,7 @@ QUERIES = {
     "tpch_q3_agg": q_tpch_q3_agg,
     "sg_edge_metrics": q_sg_edge_metrics,
     "sg_relations": q_sg_relations,
+    "sg_components": q_sg_components,
     "a7_resource_components": q_a7_resource_components,
     "a7_resource_relations": q_a7_resource_relations,
     "k6_intake_groups": q_k6_intake_groups,
@@ -1625,6 +1713,7 @@ ORACLES = {
     "r3_fanout_counts": SQL_R3,
     "sg_edge_metrics": SQL_SG_EDGE_METRICS,
     "sg_relations": SQL_SG_RELATIONS,
+    "sg_components": SQL_SG_COMPONENTS,
     "a7_resource_components": SQL_A7_COMPONENTS,
     "a7_resource_relations": SQL_A7_RELATIONS,
     "k6_intake_groups": SQL_K6,

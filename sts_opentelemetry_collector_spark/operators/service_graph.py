@@ -41,6 +41,13 @@ def build_edges(spans: DataFrame) -> DataFrame:
     """
     has_db = "db_system" in spans.columns
     has_peer = "peer_service" in spans.columns
+    # resource-attr dims for the topology exporter (the connector's
+    # configurable Dimensions with client_/server_ prefixes,
+    # connector.go:345-352, :621-643) — carried when the span source has
+    # them, so AddConnection's endpoint fallbacks are exercisable
+    carry_dims = [
+        c for c in ("service_namespace", "service_instance_id") if c in spans.columns
+    ]
 
     dur = (
         F.col("end_ts").cast("double") - F.col("start_ts").cast("double")
@@ -56,7 +63,8 @@ def build_edges(spans: DataFrame) -> DataFrame:
         .otherwise(F.lit(""))
         .alias("connection_type"),
         *([F.col("db_system")] if has_db else []),
-        *([F.col("peer_service")] if has_peer else []),
+        *([F.col("peer_service").alias("client_peer_service")] if has_peer else []),
+        *[F.col(c).alias(f"client_{c.removeprefix('service_')}") for c in carry_dims],
     )
     server = spans.where(F.col("kind").isin(*SERVER_KINDS)).select(
         F.col("trace_id"),
@@ -64,6 +72,7 @@ def build_edges(spans: DataFrame) -> DataFrame:
         F.col("service").alias("server"),
         dur.alias("server_latency_sec"),
         F.col("failed").alias("server_failed"),
+        *[F.col(c).alias(f"server_{c.removeprefix('service_')}") for c in carry_dims],
     )
 
     if has_db:
@@ -72,6 +81,10 @@ def build_edges(spans: DataFrame) -> DataFrame:
     else:
         db_client = None
 
+    dim_cols = [f"client_{c.removeprefix('service_')}" for c in carry_dims] + [
+        f"server_{c.removeprefix('service_')}" for c in carry_dims
+    ]
+    peer_cols = ["client_peer_service"] if has_peer else []
     paired = client.join(server, on=["trace_id", "join_key"], how="inner").select(
         "trace_id",
         "client",
@@ -80,16 +93,19 @@ def build_edges(spans: DataFrame) -> DataFrame:
         "client_latency_sec",
         "server_latency_sec",
         (F.col("client_failed") | F.col("server_failed")).alias("failed"),
+        *peer_cols,
+        *dim_cols,
     )
 
     if db_client is not None:
-        # DB client-only edges (connector.go:296-301): server = db peer.
+        # DB client-only edges (connector.go:296-301): server = db name,
+        # with peer.service winning when set (FindDatabase,
+        # connector.go:721-744). No server span => server-side dims NULL.
         db_edges = db_client.select(
             "trace_id",
             "client",
             (
-                F.coalesce(*( [F.col("peer_service")] if has_peer else [] ),
-                           F.col("db_system"))
+                F.coalesce(F.col("client_peer_service"), F.col("db_system"))
                 if has_peer
                 else F.col("db_system")
             ).alias("server"),
@@ -97,6 +113,12 @@ def build_edges(spans: DataFrame) -> DataFrame:
             F.col("client_latency_sec"),
             F.lit(None).cast("double").alias("server_latency_sec"),
             F.col("client_failed").alias("failed"),
+            *peer_cols,
+            *[F.col(f"client_{c.removeprefix('service_')}") for c in carry_dims],
+            *[
+                F.lit(None).cast("string").alias(f"server_{c.removeprefix('service_')}")
+                for c in carry_dims
+            ],
         )
         paired = paired.unionByName(db_edges)
     return paired
@@ -118,25 +140,145 @@ def service_graph_metrics(
     return counters, hist
 
 
-def metrics_to_relations(counters: DataFrame) -> DataFrame:
-    """A8: service-graph counters -> topology relations
-    (ststopologyexporter/internal/topology.go:200-320).
+def _opt(counters: DataFrame, name: str):
+    return F.col(name) if name in counters.columns else F.lit(None).cast("string")
 
-    connection_type '' -> synchronous 'calls' relation; messaging_system ->
-    asynchronous; database -> 'uses' + a database component row emitted
-    separately (components of type database)."""
-    urn = lambda s: F.concat(F.lit("urn:service/"), s)  # noqa: E731
-    rel_type = (
-        F.when(F.col("connection_type") == "messaging_system", "async_calls")
-        .when(F.col("connection_type") == "database", "uses")
-        .otherwise("calls")
+
+def _instance_urn(ns, service, instance_id):
+    """serviceInstance URN with the reference's name fallback: a missing
+    service.instance.id falls back to the service name
+    (topology.go:228-236, :276-296)."""
+    return F.format_string(
+        "urn:opentelemetry:namespace/%s:service/%s:serviceInstance/%s",
+        ns, service, F.coalesce(instance_id, service),
     )
-    return counters.select(
-        F.concat_ws("-", urn(F.col("client")), urn(F.col("server"))).alias("external_id"),
-        urn(F.col("client")).alias("source_identifier"),
-        urn(F.col("server")).alias("target_identifier"),
-        rel_type.alias("type_name"),
-        F.lit("CONNECTION").alias("dependency_type"),
-        F.col("req_total"),
-        F.col("req_failed_total"),
+
+
+def _service_urn(ns, service):
+    return F.format_string("urn:opentelemetry:namespace/%s:service/%s", ns, service)
+
+
+def _connections(counters: DataFrame) -> DataFrame:
+    """Shared AddConnection preamble (topology.go:199-226): required attrs
+    (client, client namespace, server, connection_type) must be present or
+    the row is skipped; unknown connection types are skipped; the source
+    endpoint is the client serviceInstance URN with instance-id fallback."""
+    c = counters.select(
+        "client",
+        "server",
+        "connection_type",
+        _opt(counters, "client_namespace").alias("client_namespace"),
+        _opt(counters, "server_namespace").alias("server_namespace"),
+        _opt(counters, "client_instance_id").alias("client_instance_id"),
+        _opt(counters, "server_instance_id").alias("server_instance_id"),
+        _opt(counters, "client_peer_service").alias("client_peer_service"),
+    )
+    return c.where(
+        F.col("client").isNotNull()
+        & F.col("client_namespace").isNotNull()
+        & F.col("server").isNotNull()
+        & F.col("connection_type").isin("", "messaging_system", "database")
+    ).withColumn(
+        "source_id",
+        _instance_urn(
+            F.col("client_namespace"), F.col("client"), F.col("client_instance_id")
+        ),
+    )
+
+
+def metrics_to_relations(counters: DataFrame) -> DataFrame:
+    """A8: service-graph counters -> topology relations — the faithful
+    AddConnection (ststopologyexporter/internal/topology.go:199-320):
+
+    - source: client serviceInstance URN (instance-id falls back to name)
+    - '' -> 'synchronous' to the server serviceInstance URN (requires
+      server namespace, else skipped)
+    - 'messaging_system' -> 'asynchronous'; with a client peer.service the
+      target is the peer service URN AND a second consumer->peer relation
+      is emitted (topology.go:270-296)
+    - 'database' -> 'database'; with a peer the target is the peer service
+      URN, else a per-(namespace, client, db) database URN whose component
+      row metrics_to_components emits (topology.go:246-269)
+    - relation identity: '<source>-<target>' (addRelation keyed map ->
+      distinct, topology.go:321-333)
+
+    counters must carry the connection dims (client_namespace,
+    server_namespace, client_instance_id, server_instance_id,
+    client_peer_service — the connector's client_/server_-prefixed
+    dimension attrs); missing columns behave as absent attrs."""
+    conn = _connections(counters)
+    peer_target = _service_urn(F.col("client_namespace"), F.col("client_peer_service"))
+    server_target = _instance_urn(
+        F.col("server_namespace"), F.col("server"), F.col("server_instance_id")
+    )
+
+    sync = conn.where(
+        (F.col("connection_type") == "") & F.col("server_namespace").isNotNull()
+    ).select(
+        F.col("source_id"),
+        server_target.alias("target_id"),
+        F.lit("synchronous").alias("type_name"),
+    )
+    asyn = conn.where(
+        (F.col("connection_type") == "messaging_system")
+        & F.col("server_namespace").isNotNull()
+    )
+    asyn_main = asyn.select(
+        F.col("source_id"),
+        F.when(F.col("client_peer_service").isNotNull(), peer_target)
+        .otherwise(server_target)
+        .alias("target_id"),
+        F.lit("asynchronous").alias("type_name"),
+    )
+    # producer->peer AND consumer->peer (topology.go:283-289)
+    asyn_consumer = asyn.where(F.col("client_peer_service").isNotNull()).select(
+        server_target.alias("source_id"),
+        peer_target.alias("target_id"),
+        F.lit("asynchronous").alias("type_name"),
+    )
+    db = conn.where(F.col("connection_type") == "database").select(
+        F.col("source_id"),
+        F.when(F.col("client_peer_service").isNotNull(), peer_target)
+        .otherwise(
+            F.format_string(
+                "urn:opentelemetry:namespace/%s:service/%s:database/%s",
+                F.col("client_namespace"), F.col("client"), F.col("server"),
+            )
+        )
+        .alias("target_id"),
+        F.lit("database").alias("type_name"),
+    )
+    rels = sync.unionByName(asyn_main).unionByName(asyn_consumer).unionByName(db)
+    return rels.select(
+        F.concat_ws("-", F.col("source_id"), F.col("target_id")).alias("external_id"),
+        F.col("source_id").alias("source_identifier"),
+        F.col("target_id").alias("target_identifier"),
+        "type_name",
+    ).distinct()
+
+
+def metrics_to_components(counters: DataFrame) -> DataFrame:
+    """A8: the database component rows AddConnection creates alongside the
+    'database' relation when no peer.service names the target
+    (topology.go:252-269): type 'database', databases layer, tagged with
+    the owning service's namespace + name. Keyed by external_id
+    (collection-map semantics -> distinct)."""
+    conn = _connections(counters)
+    return (
+        conn.where(
+            (F.col("connection_type") == "database")
+            & F.col("client_peer_service").isNull()
+        )
+        .select(
+            F.format_string(
+                "urn:opentelemetry:namespace/%s:service/%s:database/%s",
+                F.col("client_namespace"), F.col("client"), F.col("server"),
+            ).alias("external_id"),
+            F.lit("database").alias("type_name"),
+            F.col("server").alias("name"),
+            F.lit("urn:stackpack:common:layer:databases").alias("layer"),
+            F.col("client_namespace").alias("tag_service_namespace"),
+            F.col("client").alias("tag_service_name"),
+        )
+        .distinct()
     )

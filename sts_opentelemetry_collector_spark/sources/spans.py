@@ -88,6 +88,17 @@ def spans_from_events(events):
     - error rows set failed on client (id%2=0) / server (id%3=0)
     - latency = floor(value*10) % 2000 ms (floor: Spark cast truncates,
       DuckDB cast rounds — floor is exact IEEE in both engines)
+
+    Resource-attr analogs for the topology exporter's AddConnection
+    (service.namespace / service.instance.id / peer.service,
+    ststopologyexporter/internal/topology.go:199-320), all deterministic
+    so the DuckDB oracle mirrors them:
+    - service_namespace:   client 'ns-'||user_id%2, server 'ns-'||(user_id+1)%2
+    - service_instance_id: client set iff event_id%4=0, server iff
+      event_id%3=0, else NULL (exercises the name-fallback branch)
+    - peer_service: set on db/async CLIENT spans iff event_id%7=0
+      (exercises FindDatabase's peer-wins naming, connector.go:721-744,
+      and AddConnection's peer-target branches)
     """
     svc = F.array(*[F.lit(s) for s in SPAN_SERVICES])
     lat_ms = F.floor(F.col("value") * 10).cast("long") % 2000
@@ -102,6 +113,10 @@ def spans_from_events(events):
     )
     trace = F.col("event_id").cast("string")
     cspan = F.concat(F.lit("c-"), trace)
+    peer = F.when(
+        (is_db | is_async) & (F.col("event_id") % 7 == 0),
+        F.concat(F.lit("peer-"), (F.col("event_id") % 3).cast("string")),
+    ).cast("string")
 
     client = events.select(
         trace.alias("trace_id"),
@@ -116,7 +131,16 @@ def spans_from_events(events):
             is_db,
             F.when(F.col("event_id") % 2 == 0, "postgres").otherwise("redis"),
         ).alias("db_system"),
-        F.lit(None).cast("string").alias("peer_service"),
+        peer.alias("peer_service"),
+        F.concat(F.lit("ns-"), (F.col("user_id") % 2).cast("string")).alias(
+            "service_namespace"
+        ),
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.concat(client_svc, F.lit("-i"), (F.col("user_id") % 3).cast("string")),
+        )
+        .cast("string")
+        .alias("service_instance_id"),
     )
     server = events.where(~is_db & ~is_unmatched).select(
         trace.alias("trace_id"),
@@ -129,5 +153,14 @@ def spans_from_events(events):
         server_failed.alias("failed"),
         F.lit(None).cast("string").alias("db_system"),
         F.lit(None).cast("string").alias("peer_service"),
+        F.concat(F.lit("ns-"), ((F.col("user_id") + 1) % 2).cast("string")).alias(
+            "service_namespace"
+        ),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(server_svc, F.lit("-i"), (F.col("user_id") % 2).cast("string")),
+        )
+        .cast("string")
+        .alias("service_instance_id"),
     )
     return client.unionByName(server)

@@ -70,14 +70,74 @@ def test_latency_histogram_buckets(spark):
     assert abs(out["sum"] - 99.004) < 1e-9
 
 
-def test_metrics_to_relations(spark, spans):
+def test_metrics_to_relations(spark):
+    """AddConnection branch-by-branch (topology.go:199-333): instance-id
+    fallback, async peer double-relation, db peer vs db-component target,
+    and the required-attr / unknown-type skips."""
+    from sts_opentelemetry_collector_spark.operators.service_graph import (
+        metrics_to_components,
+    )
+
+    rows = [
+        # sync, both instance ids present
+        ("a", "b", "", "nsA", "nsB", "a-1", "b-1", None),
+        # sync, instance ids absent -> fall back to service names
+        ("a", "b", "", "nsA", "nsB", None, None, None),
+        # sync, server namespace missing -> skipped
+        ("a", "b", "", "nsA", None, None, None, None),
+        # async without peer -> producer -> consumer instance
+        ("p", "c", "messaging_system", "nsP", "nsC", None, "c-7", None),
+        # async WITH peer -> producer->peer AND consumer->peer
+        ("p", "c", "messaging_system", "nsP", "nsC", None, None, "kafka"),
+        # database without peer -> db URN target (+ component row)
+        ("svc", "postgres", "database", "nsD", None, None, None, None),
+        # database WITH peer -> peer service URN target, NO component
+        ("svc", "pgpeer", "database", "nsD", None, None, None, "pgpeer"),
+        # unknown connection type -> skipped
+        ("x", "y", "mystery", "nsX", "nsY", None, None, None),
+        # client namespace missing -> skipped
+        ("x", "y", "", None, "nsY", None, None, None),
+    ]
+    counters = spark.createDataFrame(
+        rows,
+        "client string, server string, connection_type string, "
+        "client_namespace string, server_namespace string, "
+        "client_instance_id string, server_instance_id string, "
+        "client_peer_service string",
+    )
+    rels = {(r.source_identifier, r.target_identifier, r.type_name)
+            for r in metrics_to_relations(counters).collect()}
+    inst = "urn:opentelemetry:namespace/{}:service/{}:serviceInstance/{}".format
+    svc = "urn:opentelemetry:namespace/{}:service/{}".format
+    assert rels == {
+        (inst("nsA", "a", "a-1"), inst("nsB", "b", "b-1"), "synchronous"),
+        (inst("nsA", "a", "a"), inst("nsB", "b", "b"), "synchronous"),
+        (inst("nsP", "p", "p"), inst("nsC", "c", "c-7"), "asynchronous"),
+        (inst("nsP", "p", "p"), svc("nsP", "kafka"), "asynchronous"),
+        (inst("nsC", "c", "c"), svc("nsP", "kafka"), "asynchronous"),
+        (inst("nsD", "svc", "svc"),
+         "urn:opentelemetry:namespace/nsD:service/svc:database/postgres",
+         "database"),
+        (inst("nsD", "svc", "svc"), svc("nsD", "pgpeer"), "database"),
+    }
+    for r in metrics_to_relations(counters).collect():
+        assert r.external_id == f"{r.source_identifier}-{r.target_identifier}"
+
+    comps = metrics_to_components(counters).collect()
+    assert len(comps) == 1
+    c = comps[0]
+    assert c.external_id == "urn:opentelemetry:namespace/nsD:service/svc:database/postgres"
+    assert (c.type_name, c.name, c.tag_service_namespace, c.tag_service_name) == (
+        "database", "postgres", "nsD", "svc",
+    )
+    assert c.layer == "urn:stackpack:common:layer:databases"
+
+
+def test_metrics_to_relations_missing_dim_columns(spark, spans):
+    """Counters built without the connection dims behave as absent attrs:
+    every row is skipped (AddConnection returns false), not an error."""
     counters, _ = service_graph_metrics(spans)
-    rels = metrics_to_relations(counters)
-    kinds = {r.type_name for r in rels.select("type_name").distinct().collect()}
-    assert kinds <= {"calls", "async_calls", "uses"}
-    assert "uses" in kinds  # db edges present
-    r = rels.first()
-    assert r.external_id == f"{r.source_identifier}-{r.target_identifier}"
+    assert metrics_to_relations(counters).count() == 0
 
 
 def test_windowed_rollup_salted_equals_plain(spark, webtext):
