@@ -128,6 +128,7 @@ def coalesce_envelopes(
     ts_col: str,
     payload_col: str,
     max_envelope_bytes: int = 768 * 1024,
+    order_col: str | None = None,
 ) -> DataFrame:
     """A6: group single elements into bounded envelopes.
 
@@ -137,12 +138,21 @@ def coalesce_envelopes(
 
     Spark shape: a running byte total per group (window cumulative sum of
     octet_length) integer-divided by the cap yields the envelope ordinal —
-    exact size-capped splitting without per-row state."""
+    exact size-capped splitting without per-row state.
+
+    First-seen order: pass order_col (a Kafka offset / ingest sequence)
+    and both the envelope split AND payload_list follow arrival order,
+    matching message_builder.go:207-257 exactly. order_col=None (batch
+    mode, where a distributed scan has no arrival order) orders by the
+    payload string instead — a deterministic canonical order; the element
+    SET per envelope is identical, only intra-envelope order deviates from
+    a live stream (documented deviation, COVERAGE.md A6)."""
     from pyspark.sql import Window
 
+    sort_col = F.col(order_col) if order_col else F.col(payload_col)
     w = (
         Window.partitionBy(*key_cols, ts_col)
-        .orderBy(payload_col)
+        .orderBy(sort_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sized = elements.withColumn("_bytes", F.octet_length(F.col(payload_col).cast("string")))
@@ -150,10 +160,19 @@ def coalesce_envelopes(
         "envelope_id",
         ((F.sum("_bytes").over(w) - F.col("_bytes")) / F.lit(max_envelope_bytes)).cast("long"),
     )
+    # collect_list order is NOT deterministic after a shuffle — assemble
+    # (sort key, payload) structs and sort in-array so envelope contents
+    # are reproducibly ordered on both code paths
+    ordered_payloads = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(sort_col.alias("o"), F.col(payload_col).alias("p")))
+        ),
+        lambda s: s["p"],
+    )
     return (
         enveloped.groupBy(*key_cols, ts_col, "envelope_id")
         .agg(
-            F.collect_list(F.col(payload_col)).alias("payload_list"),
+            ordered_payloads.alias("payload_list"),
             F.sum("_bytes").alias("envelope_bytes"),
             F.count(F.lit(1)).alias("element_count"),
         )

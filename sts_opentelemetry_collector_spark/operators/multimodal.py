@@ -1,10 +1,17 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container ships no image/audio libraries, so the DECODE step is a
-deterministic fake behind `decode_stub` (clearly marked; swap for
-PIL/librosa/ffmpeg on a real cluster — the NotImplementedError path guards
-accidental production use). Everything Spark-side is real and tested:
-schema, Arrow batch shape, mapInPandas iterator contract, partition sizing.
+Two REAL pure-stdlib decoders run inside the pandas batches — no external
+media libraries needed:
+- PNG (image): signature + IHDR parse, IDAT zlib inflate, scanline
+  unfilter (filter types 0-4), 8-bit gray/RGB/RGBA -> pixel ndarray.
+- WAV (audio): RIFF/fmt/data chunk walk, PCM 8/16-bit -> sample ndarray.
+
+Video decode stays an honest stub (`decode_stub`, clearly marked; swap
+for ffmpeg on a real cluster) — the frame-sampling PLAN (row explosion)
+is real either way. Rows whose payload fails to decode get
+decode_ok=false with deterministic fallback features instead of failing
+the batch, mirroring the parse-failure-counting contract of the main
+pipeline.
 
 Design for 100 TB of media:
 - media rows are WIDE (MBs each): maxRecordsPerBatch is capped so one
@@ -19,6 +26,8 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -33,44 +42,242 @@ MEDIA_SCHEMA = (
 
 FEATURE_DIM = 16
 
-_REAL_DECODERS = False  # no PIL/librosa in this container
+_REAL_DECODERS = False  # no ffmpeg in this container (video only)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# 8-bit color types we decode: gray, RGB, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode -> (height, width, channels) uint8 array.
+
+    Handles non-interlaced 8-bit-depth gray/RGB/RGBA with all five
+    scanline filter types. Raises ValueError on anything else."""
+    if not payload or not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, w = len(_PNG_SIG), None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated chunk")
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+                raise ValueError(f"unsupported PNG (depth={depth} color={color})")
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad scanline payload size")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = line + prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    rec = line[x] + a
+                elif ftype == 3:
+                    rec = line[x] + (a + b) // 2
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    rec = line[x] + pr
+                cur[x] = rec & 0xFF
+        else:
+            raise ValueError(f"unknown filter {ftype}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal PNG writer (filter 0 scanlines) — the synth_media source of
+    REAL image payloads, and decode_png's round-trip test twin."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-stdlib WAV decode -> ((n_frames, channels) float array in
+    [-1, 1], sample_rate). PCM 8-bit unsigned / 16-bit signed only."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack("<4sI", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated chunk")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (fmt={audio_fmt} bits={bits})")
+    if bits == 16:
+        samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+        scaled = samples.astype(np.float64) / 32768.0
+    else:
+        samples = np.frombuffer(data, dtype=np.uint8)
+        scaled = (samples.astype(np.float64) - 128.0) / 128.0
+    n = len(scaled) // channels
+    return scaled[: n * channels].reshape(n, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal PCM16 WAV writer — synth_media's real audio payload source."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2")
+    channels = s.shape[1]
+    data = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _hist_features(values: np.ndarray, bins: int, lo: float, hi: float) -> list[float]:
+    hist, _ = np.histogram(values, bins=bins, range=(lo, hi))
+    total = max(int(hist.sum()), 1)
+    return [float(c) / total for c in hist]
+
+
+def image_features(px: np.ndarray) -> np.ndarray:
+    """Deterministic 16-dim image descriptor: shape, gray stats, 9-bin
+    gray histogram."""
+    gray = px.astype(np.float64).mean(axis=2)
+    feats = [
+        float(px.shape[0]), float(px.shape[1]), float(px.shape[2]),
+        float(gray.mean()), float(gray.std()),
+        float(gray.min()), float(gray.max()),
+        *_hist_features(gray.ravel(), 9, 0.0, 256.0),
+    ]
+    return np.asarray(feats, dtype=np.float32)
+
+
+def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """Deterministic 16-dim audio descriptor: shape/rate, amplitude stats,
+    RMS + zero-crossing rate, 6-bin amplitude histogram."""
+    mono = samples.mean(axis=1)
+    zc = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))) if len(mono) > 1 else 0.0
+    feats = [
+        float(samples.shape[0]), float(samples.shape[1]), float(rate),
+        float(mono.mean()), float(mono.std()),
+        float(mono.min()), float(mono.max()),
+        float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0,
+        zc,
+        *_hist_features(mono, 6, -1.0, 1.0),
+    ]
+    return np.asarray(feats, dtype=np.float32)
 
 
 def decode_stub(payload: bytes, media_type: str) -> np.ndarray:
-    """STUB decoder: deterministic fake features from the payload bytes.
+    """STUB decoder (video + unknown types, and the fallback for corrupt
+    payloads): deterministic fake features from the payload bytes.
 
-    Replace with a real decode (PIL image -> pixels, librosa -> spectro)
-    on a cluster with media libraries. Raises if someone flips the flag
-    without providing a decoder.
-    """
+    Replace with a real decode (ffmpeg frame extraction) on a cluster with
+    media libraries. Raises if someone flips the flag without providing a
+    decoder."""
     if _REAL_DECODERS:
-        raise NotImplementedError("wire a real decoder (PIL/librosa/ffmpeg) here")
+        raise NotImplementedError("wire a real decoder (ffmpeg) here")
     h = hashlib.sha256(payload or b"").digest()
     arr = np.frombuffer((h * ((FEATURE_DIM * 4) // len(h) + 1))[: FEATURE_DIM * 4],
                         dtype=np.uint32)
     return (arr % 1000).astype(np.float32) / 1000.0
 
 
+def decode_features(payload: bytes, media_type: str) -> tuple[bool, np.ndarray]:
+    """Dispatch: real PNG/WAV decode for image/audio; stub for the rest.
+    Corrupt payloads -> (False, deterministic fallback) — one bad row must
+    not fail an Arrow batch of 10k rows."""
+    try:
+        if media_type == "image":
+            return True, image_features(decode_png(payload))
+        if media_type == "audio":
+            samples, rate = decode_wav(payload)
+            return True, audio_features(samples, rate)
+    except (ValueError, zlib.error):
+        return False, decode_stub(payload, media_type)
+    return True, decode_stub(payload, media_type)
+
+
 def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     """Binary payload -> FEATURE_DIM float features via mapInPandas.
 
     The iterator contract lets per-partition init happen once; the output
-    drops the payload (narrow rows out)."""
+    drops the payload (narrow rows out). decode_ok marks rows whose
+    payload failed its real decoder (parse-failure analog)."""
 
-    out_schema = "url string, media_type string, n_bytes long, features array<float>"
+    out_schema = (
+        "url string, media_type string, n_bytes long, decode_ok boolean, "
+        "features array<float>"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-partition init happens HERE (codec/model load in production)
         for pdf in batches:
-            feats = [
-                decode_stub(p if p is None or isinstance(p, bytes) else bytes(p), mt).tolist()
-                for p, mt in zip(pdf["payload"], pdf["media_type"])
-            ]
+            oks, feats = [], []
+            for p, mt in zip(pdf["payload"], pdf["media_type"]):
+                ok, f = decode_features(
+                    p if p is None or isinstance(p, bytes) else bytes(p), mt
+                )
+                oks.append(ok)
+                feats.append(f.tolist())
             yield pd.DataFrame(
                 {
                     "url": pdf["url"],
                     "media_type": pdf["media_type"],
                     "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "decode_ok": oks,
                     "features": feats,
                 }
             )
@@ -97,21 +304,27 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synth_media(spark, n_rows: int = 200, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (binary payloads + typed metadata)."""
+    """Deterministic fake media table. Image and audio payloads are REAL
+    (valid PNG / PCM16 WAV bytes from the encoders above); video payloads
+    are opaque bytes for the stub path."""
     rng = np.random.default_rng(seed)
     types = ["image", "audio", "video"]
     rows = []
     for i in range(n_rows):
         mt = types[i % 3]
-        payload = bytes(rng.integers(0, 256, size=64 + (i % 128), dtype=np.uint8))
-        rows.append(
-            (
-                f"https://media.example.org/{mt}/{i}",
-                mt,
-                payload,
-                64 if mt == "image" else None,
-                64 if mt == "image" else None,
-                3000 if mt == "video" else (1500 if mt == "audio" else None),
+        if mt == "image":
+            w, h = 8 + i % 8, 5 + i % 5
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload, width, height, dur = encode_png(px), w, h, None
+        elif mt == "audio":
+            n = 64 + (i % 64)
+            samples = rng.uniform(-0.8, 0.8, size=(n, 1))
+            payload, width, height, dur = (
+                encode_wav(samples, rate=8000), None, None, (n * 1000) // 8000,
             )
-        )
+        else:
+            payload = bytes(rng.integers(0, 256, size=64 + (i % 128), dtype=np.uint8))
+            width, height, dur = None, None, 3000
+        rows.append((f"https://media.example.org/{mt}/{i}", mt, payload, width,
+                     height, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -176,6 +176,35 @@ def test_coalesce_envelopes_caps_and_conserves(spark):
     assert out2.count() == 11
 
 
+def test_coalesce_envelopes_first_seen_order(spark):
+    """With an arrival-order column, envelope contents AND the split
+    boundary follow first-seen order (message_builder.go:207-257); without
+    one, payload_list is in deterministic canonical (payload) order."""
+    t = dt.datetime(2024, 3, 1)
+    # arrival order deliberately != lexicographic payload order
+    rows = [("m", 0, t, f"p-{9 - i}", i) for i in range(10)]
+    df = spark.createDataFrame(
+        rows,
+        "data_source string, shard_id int, ts timestamp, payload string, seq long",
+    ).repartition(4)
+
+    out = coalesce_envelopes(
+        df, ["data_source", "shard_id"], "ts", "payload",
+        max_envelope_bytes=3 * 3,  # 3 payloads of 3 bytes per envelope
+        order_col="seq",
+    ).orderBy("envelope_id").collect()
+    # arrival order p-9, p-8, ... p-0; 3 per envelope, remainder last
+    assert [r.payload_list for r in out] == [
+        ["p-9", "p-8", "p-7"], ["p-6", "p-5", "p-4"],
+        ["p-3", "p-2", "p-1"], ["p-0"],
+    ]
+
+    canon = coalesce_envelopes(
+        df, ["data_source", "shard_id"], "ts", "payload", max_envelope_bytes=10_000
+    ).first()
+    assert canon.payload_list == sorted(f"p-{i}" for i in range(10))
+
+
 def test_usage_bytes(spark):
     df = spark.createDataFrame([("abc", "de"), ("f", None)], "a string, b string")
     row = usage_bytes(df, ["a", "b"]).first()

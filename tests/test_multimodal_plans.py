@@ -5,9 +5,15 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+import numpy as np
+
 from sts_opentelemetry_collector_spark.operators.multimodal import (
     FEATURE_DIM,
+    decode_png,
     decode_stub,
+    decode_wav,
+    encode_png,
+    encode_wav,
     extract_features,
     frame_sample_plan,
     synth_media,
@@ -15,11 +21,72 @@ from sts_opentelemetry_collector_spark.operators.multimodal import (
 
 
 def test_decode_stub_deterministic():
-    a = decode_stub(b"abc", "image")
-    b = decode_stub(b"abc", "image")
+    a = decode_stub(b"abc", "video")
+    b = decode_stub(b"abc", "video")
     assert (a == b).all()
     assert len(a) == FEATURE_DIM
-    assert (decode_stub(b"xyz", "image") != a).any()
+    assert (decode_stub(b"xyz", "video") != a).any()
+
+
+def test_png_roundtrip_all_shapes():
+    rng = np.random.default_rng(3)
+    for ch in (1, 3, 4):
+        px = rng.integers(0, 256, size=(7, 11, ch), dtype=np.uint8)
+        out = decode_png(encode_png(px))
+        assert out.shape == (7, 11, ch)
+        assert (out == px).all()
+
+
+def test_png_decodes_filtered_scanlines():
+    """decode_png must unfilter Sub/Up/Average/Paeth, not just filter 0 —
+    re-encode with explicit per-row filters and compare."""
+    import struct
+    import zlib
+
+    from sts_opentelemetry_collector_spark.operators.multimodal import _PNG_SIG
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    stride = 6 * 3
+
+    def filt(y, ftype):
+        cur = px[y].reshape(-1).astype(np.int16)
+        prev = px[y - 1].reshape(-1).astype(np.int16) if y else np.zeros(stride, np.int16)
+        left = np.concatenate([np.zeros(3, np.int16), cur[:-3]])
+        upleft = np.concatenate([np.zeros(3, np.int16), prev[:-3]])
+        if ftype == 1:
+            enc = cur - left
+        elif ftype == 2:
+            enc = cur - prev
+        elif ftype == 3:
+            enc = cur - (left + prev) // 2
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            enc = cur - pred
+        return bytes([ftype]) + (enc % 256).astype(np.uint8).tobytes()
+
+    raw = b"".join(filt(y, f) for y, f in enumerate([1, 2, 3, 4, 2]))
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    payload = (_PNG_SIG
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert (decode_png(payload) == px).all()
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(4)
+    s = rng.uniform(-0.9, 0.9, size=(100, 2))
+    out, rate = decode_wav(encode_wav(s, rate=16000))
+    assert rate == 16000
+    assert out.shape == (100, 2)
+    # quantization: round(s*32767)/32768 differs from s by ≤ (|s|+0.5)/32768
+    assert np.abs(out - s).max() < 1.5 / 32768
 
 
 def test_extract_features_schema_and_values(spark):
@@ -35,6 +102,28 @@ def test_extract_features_schema_and_values(spark):
     assert again[r.url] == r.features
     # payload projected away: output schema is narrow
     assert "payload" not in feats.columns
+    # image/audio payloads are REAL and decode through the stdlib decoders
+    by_type = {x.url: x for x in rows}
+    for x in rows:
+        if x.media_type in ("image", "audio"):
+            assert x.decode_ok, x.url
+    # image features carry the true decoded dimensions (h, w, channels)
+    img = [x for x in rows if x.media_type == "image"][0]
+    i = int(img.url.rsplit("/", 1)[1])
+    assert img.features[:3] == [float(5 + i % 5), float(8 + i % 8), 3.0]
+    # audio features carry (n_frames, channels, rate)
+    aud = [x for x in rows if x.media_type == "audio"][0]
+    j = int(aud.url.rsplit("/", 1)[1])
+    assert aud.features[:3] == [float(64 + j % 64), 1.0, 8000.0]
+    assert by_type  # sanity
+
+
+def test_extract_features_corrupt_payload_flagged(spark):
+    rows = [("u1", "image", b"not a png"), ("u2", "audio", b"RIFFxxxx")]
+    media = spark.createDataFrame(rows, "url string, media_type string, payload binary")
+    out = {r.url: r for r in extract_features(media).collect()}
+    assert not out["u1"].decode_ok and not out["u2"].decode_ok
+    assert len(out["u1"].features) == FEATURE_DIM  # deterministic fallback
 
 
 def test_frame_sample_plan(spark):
