@@ -76,6 +76,124 @@ def build_element_stream(
     return with_shard_id(dedup_elements(unified))
 
 
+def publish_element_stream(
+    spark: SparkSession,
+    sinks: SinkCatalog,
+    collection_ts: str,
+    api_keys: dict[str, str] | None = None,
+    default_api_key: str = "default-key",
+    elements_sink: str = "topology_elements",
+    part_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """A6 + R6 + K6 + per-element payloads off ONE unified landed element
+    stream — the publisher stage shared by the batch pipeline and the
+    streaming flagship (so envelope/intake/lifecycle semantics cannot
+    drift between modes). Topology elements are dimension-scale (bounded
+    by the mapped entity universe, not the page count), so reading the
+    just-landed sinks back is a pruned scan over tiny tables — no
+    recompute of the page scan. Returns per-sink counts."""
+    part_cols = part_cols or ["data_source", "shard_id"]
+    counts: dict[str, int] = {}
+    elements_back = sinks.read(spark, elements_sink)
+    payload = (
+        F.when(
+            F.col("element_kind") == "component",
+            F.to_json(F.struct("external_id", "name", "type_name")),
+        )
+        .when(
+            F.col("element_kind") == "relation",
+            F.to_json(
+                F.struct("external_id", "source_identifier",
+                         "target_identifier", "type_name")
+            ),
+        )
+        # removal marker: key-only payload (TopologyStreamRemove)
+        .otherwise(F.to_json(F.struct("external_id")))
+    )
+    elements = elements_back.select(
+        "data_source", "shard_id", "external_id", "element_kind",
+        payload.alias("payload"),
+    ).dropDuplicates(["data_source", "shard_id", "external_id"])
+    # ^ collection-map semantics: keyed by external_id per stream, so a
+    # resumed run re-reading appended sinks stays idempotent.
+    # Three consumers (envelopes, stream lifecycle, intake) over a
+    # dimension-scale frame: persist once, skip two re-scans + re-dedups.
+    elements = elements.persist()
+
+    # A6: size-capped envelope coalescing before the keyed stream write
+    # (message_builder.go:194-257, 768 KiB cap :162-171). collection_ts is
+    # the run id — one collection per snapshot application, as in the
+    # reference's per-batch envelope builder.
+    from ..operators.aggregate import coalesce_envelopes
+
+    envelopes = coalesce_envelopes(
+        elements.withColumn("collection_ts", F.lit(collection_ts)),
+        key_cols=["data_source", "shard_id"],
+        ts_col="collection_ts",
+        payload_col="payload",
+    )
+    env_obs = Observation(f"envelopes_{collection_ts}")
+    sinks.append(
+        envelopes.observe(env_obs, F.count(F.lit(1)).alias("n")),
+        "topology_envelopes",
+        partition_by=part_cols,
+    )
+    counts["topology_envelopes"] = env_obs.get["n"]
+
+    # R6: stream lifecycle — first-seen (data_source, shard_id) pairs vs
+    # the persisted known-streams state (topology_stream_publisher.go:96-143)
+    from ..operators.routing import new_streams
+
+    known = (
+        sinks.read(spark, "known_streams")
+        if sinks.exists("known_streams")
+        else None
+    )
+    first_seen = new_streams(elements, known).withColumn(
+        "run_id", F.lit(collection_ts)
+    )
+    fs_obs = Observation(f"first_seen_{collection_ts}")
+    sinks.append(
+        first_seen.observe(fs_obs, F.count(F.lit(1)).alias("n")),
+        "known_streams",
+        partition_by=None,
+    )
+    counts["new_streams"] = fs_obs.get["n"]
+
+    # K6/A9: per-API-key grouped, ExternalID-sorted intake write
+    # (exporter.go:44-54, topology.go:335-355). api key resolves from the
+    # data_source -> key settings dict (sts_api_key resource attr analog).
+    from ..operators.intake import write_intake
+
+    key_pairs: list = []
+    for ds, key in sorted((api_keys or {}).items()):
+        key_pairs += [F.lit(ds), F.lit(key)]
+    key_map = F.create_map(*key_pairs) if key_pairs else None
+    api_key = (
+        F.coalesce(key_map[F.col("data_source")], F.lit(default_api_key))
+        if key_map is not None
+        else F.lit(default_api_key)
+    )
+    # the intake POST carries components+relations only; removals are
+    # implicit in the reference's full-snapshot semantics
+    intake_elements = (
+        elements.where(F.col("element_kind") != "delete")
+        .withColumn("api_key", api_key)
+        .drop("payload")
+    )
+    intake_obs = Observation(f"intake_{collection_ts}")
+    write_intake(
+        intake_elements.observe(intake_obs, F.count(F.lit(1)).alias("n")),
+        sinks.path("topology_intake"),
+    )
+    # the intake is the FULL deduped snapshot (all landed runs), so count
+    # what was actually written — on a resumed run this exceeds this run's
+    # nc+nr
+    counts["topology_intake"] = intake_obs.get["n"]
+    elements.unpersist()
+    return counts
+
+
 def run_pipeline(
     spark: SparkSession,
     webtext_path: str,
@@ -216,13 +334,6 @@ def run_pipeline(
     # Counting rides the write via observe(): ONE action per sink instead
     # of count+write double execution (matters at both ends of the scale:
     # small-job floor locally, double scans at 100 TB).
-    def _write(df: DataFrame, name: str, partition_by=part_cols) -> None:
-        obs = Observation(f"{name}_{run_id}")
-        sinks.append(
-            df.observe(obs, F.count(F.lit(1)).alias("n")), name, partition_by=partition_by
-        )
-        sink_counts[name] = obs.get["n"]
-
     el_obs = Observation(f"elements_{run_id}")
     sinks.append(
         elements_keyed.observe(
@@ -242,101 +353,16 @@ def run_pipeline(
     sink_counts["topology_deletes"] = int(got["nd"] or 0)
     _mark("elements_write")
 
-    # ---- A6 + R6 + K6 + metadata run off ONE unified element stream.
-    # Topology elements are dimension-scale (bounded by the mapped entity
-    # universe, not the page count), so reading the just-landed sinks back
-    # is a pruned scan over tiny tables — no recompute of the page scan.
-    elements_back = sinks.read(spark, "topology_elements")
-    payload = (
-        F.when(
-            F.col("element_kind") == "component",
-            F.to_json(F.struct("external_id", "name", "type_name")),
+    # ---- A6 + R6 + K6 run off ONE unified landed element stream
+    # (publish_element_stream — shared with the streaming flagship).
+    sink_counts.update(
+        publish_element_stream(
+            spark, sinks, run_id,
+            api_keys=api_keys, default_api_key=default_api_key,
+            elements_sink="topology_elements", part_cols=part_cols,
         )
-        .when(
-            F.col("element_kind") == "relation",
-            F.to_json(
-                F.struct("external_id", "source_identifier",
-                         "target_identifier", "type_name")
-            ),
-        )
-        # removal marker: key-only payload (TopologyStreamRemove)
-        .otherwise(F.to_json(F.struct("external_id")))
     )
-    elements = elements_back.select(
-        "data_source", "shard_id", "external_id", "element_kind",
-        payload.alias("payload"),
-    ).dropDuplicates(["data_source", "shard_id", "external_id"])
-    # ^ collection-map semantics: keyed by external_id per stream, so a
-    # resumed run re-reading appended sinks stays idempotent.
-    # Three consumers (envelopes, stream lifecycle, intake) over a
-    # dimension-scale frame: persist once, skip two re-scans + re-dedups.
-    elements = elements.persist()
-
-    # A6: size-capped envelope coalescing before the keyed stream write
-    # (message_builder.go:194-257, 768 KiB cap :162-171). collection_ts is
-    # the run id — one collection per snapshot application, as in the
-    # reference's per-batch envelope builder.
-    from ..operators.aggregate import coalesce_envelopes
-
-    envelopes = coalesce_envelopes(
-        elements.withColumn("collection_ts", F.lit(run_id)),
-        key_cols=["data_source", "shard_id"],
-        ts_col="collection_ts",
-        payload_col="payload",
-    )
-    _write(envelopes, "topology_envelopes")
-    _mark("envelopes_write")
-
-    # R6: stream lifecycle — first-seen (data_source, shard_id) pairs vs
-    # the persisted known-streams state (topology_stream_publisher.go:96-143)
-    from ..operators.routing import new_streams
-
-    known = (
-        sinks.read(spark, "known_streams")
-        if sinks.exists("known_streams")
-        else None
-    )
-    first_seen = new_streams(elements, known).withColumn("run_id", F.lit(run_id))
-    fs_obs = Observation(f"first_seen_{run_id}")
-    sinks.append(
-        first_seen.observe(fs_obs, F.count(F.lit(1)).alias("n")),
-        "known_streams",
-        partition_by=None,
-    )
-    sink_counts["new_streams"] = fs_obs.get["n"]
-
-    # K6/A9: per-API-key grouped, ExternalID-sorted intake write
-    # (exporter.go:44-54, topology.go:335-355). api key resolves from the
-    # data_source -> key settings dict (sts_api_key resource attr analog).
-    from ..operators.intake import write_intake
-
-    key_pairs: list = []
-    for ds, key in sorted((api_keys or {}).items()):
-        key_pairs += [F.lit(ds), F.lit(key)]
-    key_map = F.create_map(*key_pairs) if key_pairs else None
-    api_key = (
-        F.coalesce(key_map[F.col("data_source")], F.lit(default_api_key))
-        if key_map is not None
-        else F.lit(default_api_key)
-    )
-    # the intake POST carries components+relations only; removals are
-    # implicit in the reference's full-snapshot semantics
-    intake_elements = (
-        elements.where(F.col("element_kind") != "delete")
-        .withColumn("api_key", api_key)
-        .drop("payload")
-    )
-    intake_obs = Observation(f"intake_{run_id}")
-    write_intake(
-        intake_elements.observe(intake_obs, F.count(F.lit(1)).alias("n")),
-        sinks.path("topology_intake"),
-    )
-    # the intake is the FULL deduped snapshot (all landed runs), so count
-    # what was actually written — on a resumed run this exceeds this run's
-    # nc+nr
-    sink_counts["topology_intake"] = intake_obs.get["n"]
-    elements.unpersist()
-    _mark("intake_write")
+    _mark("publish_envelopes_streams_intake")
 
     # Metadata publisher analog (metadata_publisher.go:48-129): compacted
     # snapshot of live mappings, tombstones for removed ones. Snapshot-

@@ -193,7 +193,9 @@ class SinkCatalog:
 
     def exists(self, name: str) -> bool:
         p = self.path(name)
+        # a landed table is data files and/or hive-style partition dirs
+        # (<col>=<val> — any partition column, e.g. api_key= for the intake)
         return os.path.exists(p) and any(
-            f.endswith(".parquet") or f.startswith(("data_source=", "part-", "_bucket="))
+            f.endswith(".parquet") or f.startswith("part-") or "=" in f
             for f in os.listdir(p)
         )

@@ -143,13 +143,21 @@ def run_pipeline_streaming(
 
     AvailableNow drains the backlog then stops, so tests/CI can assert
     stream == batch; drop the trigger for a true always-on deployment.
+
+    After the drain, the SAME publisher stage as the batch pipeline
+    (publish_element_stream) runs over the landed element sink: envelopes
+    (A6), stream lifecycle (R6), and the per-API-key intake (K6) — so
+    every sink family exists in both modes with identical semantics and
+    the summary carries per-sink counts for the parity check. (The
+    reference publisher likewise runs over the consumed element store,
+    not per Kafka poll.)
     """
     import os
 
     from ..operators.enrich import enrich_pages
     from ..operators.mapping import apply_mappings, register_sql_functions
     from ..operators.parse import ATTRS_SOURCE_COLS, parse_pages, with_attrs
-    from ..plans.pipeline import build_element_stream
+    from ..plans.pipeline import build_element_stream, publish_element_stream
     from ..plans.sinks import SinkCatalog
     from ..session import ensure_semantics_confs
     from ..sources.settings import default_mappings
@@ -194,7 +202,30 @@ def run_pipeline_streaming(
         .start()
     )
     q.awaitTermination()
-    return {"micro_batches": len(batches)}
+
+    sink_counts = {"otel_logs": sinks.read(spark, "otel_logs_stream").count()}
+    if sinks.exists("topology_elements_stream"):
+        el = sinks.read(spark, "topology_elements_stream")
+        distinct = el.select(
+            "element_kind", "data_source", "shard_id", "external_id"
+        ).distinct()
+        kinds = {
+            r.element_kind: r.n
+            for r in distinct.groupBy("element_kind")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        sink_counts["topology_elements"] = sum(kinds.values())
+        sink_counts["topology_components"] = kinds.get("component", 0)
+        sink_counts["topology_relations"] = kinds.get("relation", 0)
+        sink_counts["topology_deletes"] = kinds.get("delete", 0)
+        sink_counts.update(
+            publish_element_stream(
+                spark, sinks, collection_ts=f"stream-{len(batches)}",
+                elements_sink="topology_elements_stream",
+            )
+        )
+    return {"micro_batches": len(batches), "sink_counts": sink_counts}
 
 
 def run_settings_stream(

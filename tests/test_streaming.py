@@ -131,7 +131,7 @@ def test_streaming_pipeline_matches_batch(spark, webtext_dir, tmp_path):
     assert summary["micro_batches"] == 3  # genuinely incremental
 
     b_out = str(tmp_path / "batch")
-    run_pipeline(spark, src, b_out, n_lineage_buckets=4)
+    b_summary = run_pipeline(spark, src, b_out, n_lineage_buckets=4)
 
     s_sinks = SinkCatalog(os.path.join(s_out, "sinks"))
     b_sinks = SinkCatalog(os.path.join(b_out, "sinks"))
@@ -146,6 +146,26 @@ def test_streaming_pipeline_matches_batch(spark, webtext_dir, tmp_path):
     got = elem_set(s_sinks.read(spark, "topology_elements_stream"))
     expected = elem_set(b_sinks.read(spark, "topology_elements"))
     assert got == expected
+
+    # sink-count parity across EVERY shared sink family: the streaming
+    # flagship publishes the same element/envelope/lifecycle/intake sinks
+    # through publish_element_stream, so counts must be equal
+    for family in (
+        "otel_logs", "topology_elements", "topology_components",
+        "topology_relations", "topology_deletes", "topology_envelopes",
+        "new_streams", "topology_intake",
+    ):
+        assert summary["sink_counts"][family] == b_summary["sink_counts"][family], family
+
+    # the published sinks are real parquet with matching row counts
+    for name in ("topology_envelopes", "known_streams", "topology_intake"):
+        assert s_sinks.exists(name), name
+        assert s_sinks.read(spark, name).count() == b_sinks.read(spark, name).count(), name
+    # intake carries identical (api_key, external_id) content both modes
+    intake_cols = ["api_key", "data_source", "external_id", "element_kind"]
+    si = {tuple(r) for r in s_sinks.read(spark, "topology_intake").select(*intake_cols).collect()}
+    bi = {tuple(r) for r in b_sinks.read(spark, "topology_intake").select(*intake_cols).collect()}
+    assert si == bi
 
 
 def test_settings_stream_applies_diffs_and_tombstones(spark, tmp_path):
