@@ -5,10 +5,10 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": <total sec>, "unit": "sec",
  "queries": {name: sec}, "sf": ..., "pages_per_sec": ...}
 
-embedding_near_dup (label-blocked pairs) is correctness-gated at sf0.01
-but excluded from the bench set — its scale path is the LSH variants
-benched here. ngram_jaccard and simhash_pairs ARE benched: both are
-LSH/band-restricted (no all-pairs anywhere in the bench set).
+Every catalog near-dup query is benched: since r3 even embedding_near_dup
+delegates candidates to the stacked-band LSH generator, so there is no
+all-pairs plan anywhere in the bench set (ngram_jaccard and simhash_pairs
+are likewise LSH/band-restricted).
 """
 
 from __future__ import annotations
@@ -65,7 +65,12 @@ BENCH_QUERIES = [
     "p14_ottl_transform",
     "r4_topic_override",
     "ann_ivf_topk",
+    "ann_lsh_topk",
+    "k5_metrics_dispatch",
     "embedding_near_dup_lsh",
+    "embedding_near_dup",
+    "sg_components",
+    "dedup_groups",
 ]
 
 

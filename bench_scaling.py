@@ -69,30 +69,26 @@ shutil.rmtree(out, ignore_errors=True)
 """
 
 
-def run_level(cores: int, wt_path: str, repeats: int) -> dict:
-    best = None
-    for _ in range(repeats):
-        script = CHILD.format(here=HERE)
-        cmd = [sys.executable, "-c", script, str(cores), wt_path]
-        # Hard CPU budget via CPU affinity (inherited by the JVM and every
-        # Python UDF worker): local[N] alone bounds JVM task slots but NOT
-        # the Python workers, which leak extra cores at the small level and
-        # deflate the nominal ratio. taskset makes each level behave like a
-        # real N-core executor cgroup, so nominal efficiency is MEASURED
-        # under the stated core budget instead of normalized after the fact.
-        taskset = shutil_which("taskset")
-        if taskset:
-            cmd = [taskset, "-c", f"0-{cores - 1}"] + cmd
-        out = subprocess.run(
-            cmd,
-            capture_output=True, text=True, timeout=1800,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
-        if best is None or r["elapsed"] < best["elapsed"]:
-            best = r
-    best["pages_per_sec"] = best["rows"] / best["elapsed"]
-    return best
+def run_level(cores: int, wt_path: str) -> dict:
+    script = CHILD.format(here=HERE)
+    cmd = [sys.executable, "-c", script, str(cores), wt_path]
+    # Hard CPU budget via CPU affinity (inherited by the JVM and every
+    # Python UDF worker): local[N] alone bounds JVM task slots but NOT
+    # the Python workers, which leak extra cores at the small level and
+    # deflate the nominal ratio. taskset makes each level behave like a
+    # real N-core executor cgroup, so nominal efficiency is MEASURED
+    # under the stated core budget instead of normalized after the fact.
+    taskset = shutil_which("taskset")
+    if taskset:
+        cmd = [taskset, "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(
+        cmd,
+        capture_output=True, text=True, timeout=1800,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    r = json.loads(line)
+    r["pages_per_sec"] = r["rows"] / r["elapsed"]
+    return r
 
 
 def main() -> None:
@@ -114,8 +110,26 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="scaling_input_", dir=base)
     wt_path = write_webtext(tmp, args.rows, partitions=64)
 
-    n = run_level(args.n_cores, wt_path, args.repeats)
-    n4 = run_level(args.n4_cores, wt_path, args.repeats)
+    # Interleaved PAIRS, not best-of-per-level: the sandbox host drifts
+    # ±15% between epochs, and picking each level's fastest run from
+    # DIFFERENT epochs measures host drift, not scaling. Each repetition
+    # runs N then 4N back-to-back (one homogeneous epoch => one efficiency
+    # sample); the reported pair is the MEDIAN-efficiency pair, with every
+    # pair printed for transparency.
+    pairs = []
+    for _ in range(args.repeats):
+        n_i = run_level(args.n_cores, wt_path)
+        n4_i = run_level(args.n4_cores, wt_path)
+        pairs.append(
+            (
+                (n4_i["pages_per_sec"] / n_i["pages_per_sec"])
+                / (args.n4_cores / args.n_cores),
+                n_i,
+                n4_i,
+            )
+        )
+    pairs.sort(key=lambda p: p[0])
+    _, n, n4 = pairs[len(pairs) // 2]
 
     eff = (n4["pages_per_sec"] / n["pages_per_sec"]) / 4.0
     # local-mode artifact correction: local[N] bounds JVM task slots, NOT
@@ -142,6 +156,7 @@ def main() -> None:
         "scaling_efficiency_cpu_normalized": round(eff_norm, 3),
         "sink_counts_equal_across_sizes": counts_equal,
         "sink_counts": n4["sink_counts"],
+        "all_pairs_nominal_efficiency": [round(p[0], 3) for p in pairs],
     }
     print(json.dumps(result))
 
@@ -153,8 +168,13 @@ The north rule requires throughput scaling efficiency >= 0.8 between N and
 4N executors. No real cluster exists in this sandbox, so the evidence is
 the identical `run_pipeline` job (parse -> enrich -> map -> dedup -> shard
 -> fan-out -> rollup, 32 lineage buckets) at two parallelism levels on the
-same {args.rows:,}-row webtext input, fresh JVM per level, best of
-{args.repeats} runs per level (the host has noisy-neighbor variance).
+same {args.rows:,}-row webtext input, fresh JVM per level.
+
+Methodology: the host drifts ±15% between epochs, so N and 4N run as
+INTERLEAVED back-to-back pairs ({args.repeats} pairs); each pair yields one
+efficiency sample measured under homogeneous host conditions, and the
+reported pair is the MEDIAN-efficiency pair. All pair efficiencies:
+{result['all_pairs_nominal_efficiency']} (median reported below).
 
 | parallelism | elapsed (s) | pages/sec | measured CPU utilization (cores) |
 |---|---|---|---|
@@ -193,12 +213,15 @@ measured and factored out:
 1. **Single shared disk.** All "executors" here share one VM disk; a real
    4N-executor cluster has 4x the aggregate disk bandwidth. Sinks and
    shuffle dirs therefore run on tmpfs (RAM-backed).
-2. **Single shared memory bus.** A numpy memcpy probe shows this VM's
-   aggregate DRAM bandwidth scales linearly only up to ~8 concurrent
-   processes and DEGRADES beyond (NUMA/throttling): 8 procs sustain the
-   same per-proc copy rate as 1 proc, 16 procs run ~4x slower per proc.
-   A real cluster adds a memory bus with every node. The N / 4N pair is
-   therefore chosen inside the linear region of THIS host.
+2. **Single shared memory bus.** A numpy memcpy probe (64 MB copies,
+   1/2/4/8/16 concurrent processes) shows this VM's aggregate DRAM
+   bandwidth is sublinear in process count, and the ceiling DRIFTS with
+   neighboring-tenant load between sessions. A real cluster adds a
+   memory bus with every node, so bandwidth saturation at high local
+   core counts is a sandbox artifact the job cannot out-engineer. The
+   N / 4N pair is therefore chosen inside the probe-measured linear
+   region of THIS host AT MEASUREMENT TIME (probe output recorded
+   below); pairs outside it measure the memory bus, not the plan.
 
 A pure-compute probe (integer loop, cache-resident) scales perfectly to
 32 processes on this VM, confirming the ceiling is memory bandwidth, not

@@ -269,8 +269,9 @@ def q_dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
 
-SQL_NGRAM_JACCARD = """
-WITH t AS (
+# shared candidate-pair CTE body (also the edge source for the
+# connected-components groups oracle below)
+_NGRAM_PAIRS_CTES = """t AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(string_split(lower(text),' '))),
                        i -> string_split(lower(text),' ')[i] || ' ' || string_split(lower(text),' ')[i+1])) AS sh
@@ -292,14 +293,46 @@ WITH t AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
   FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.doc_id < b.doc_id
+), pairs AS (
+  SELECT da AS doc_a, db AS doc_b,
+         round(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(ta.sh, tb.sh))), 4) AS jaccard
+  FROM cand JOIN t ta ON ta.doc_id = da JOIN t tb ON tb.doc_id = db
+  WHERE round(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(ta.sh, tb.sh))), 4) >= 0.5
+)"""
+
+SQL_NGRAM_JACCARD = (
+    "WITH " + _NGRAM_PAIRS_CTES + "\nSELECT doc_a, doc_b, jaccard FROM pairs"
 )
-SELECT da AS doc_a, db AS doc_b,
-       round(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(ta.sh, tb.sh))), 4) AS jaccard
-FROM cand JOIN t ta ON ta.doc_id = da JOIN t tb ON tb.doc_id = db
-WHERE round(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(ta.sh, tb.sh))), 4) >= 0.5
+
+
+def q_near_dup_groups(spark, sf):
+    """Connected-components grouping over the LSH near-dup pair graph:
+    every paired doc -> min doc_id of its component (keep the rep, drop
+    the rest). Spark runs iterative min-label propagation; the oracle
+    computes the same min-reachable label with a recursive CTE."""
+    from .operators.textops import near_dup_groups
+
+    return near_dup_groups(_t(spark, sf, "documents"))
+
+
+SQL_NEAR_DUP_GROUPS = (
+    "WITH RECURSIVE " + _NGRAM_PAIRS_CTES + """
+, edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), verts AS (
+  SELECT DISTINCT src AS doc_id FROM edges
+), reach(v, r) AS (
+  SELECT doc_id, doc_id FROM verts
+  UNION
+  SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT v AS doc_id, MIN(r) AS group_rep FROM reach GROUP BY v
 """
+)
 
 
 def q_dedup_simhash_pairs(spark, sf):
@@ -1643,6 +1676,7 @@ QUERIES = {
     "d5_resource_content_hash": q_d5_resource_content_hash,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_groups": q_near_dup_groups,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1698,6 +1732,7 @@ ORACLES = {
     "d5_resource_content_hash": SQL_D5,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_groups": SQL_NEAR_DUP_GROUPS,
     "dedup_minhash_lsh": SQL_MINHASH_LSH,
     "dedup_simhash": SQL_SIMHASH,
     "dedup_simhash_pairs": SQL_SIMHASH_PAIRS,

@@ -126,6 +126,79 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dup_groups(
+    docs: DataFrame,
+    n: int = 2,
+    threshold: float = 0.5,
+    bands: int = 4,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected-components grouping over the LSH-restricted near-dup pair
+    graph — the "which docs to keep" step of corpus dedup: every doc in a
+    component maps to group_rep = min doc_id of the component (keep the
+    rep, drop the rest). Only docs appearing in >=1 near-dup pair are
+    emitted; singletons are trivially their own keeper.
+
+    Spark shape: iterative min-label propagation on the symmetric edge
+    list — label(v) <- min(label(v), min over neighbors' labels) — until a
+    fixpoint (converges in O(component diameter) rounds; near-dup
+    components are near-cliques, so typically 2-4). Each round is one
+    shuffle over LSH-candidate-volume edges, never n². At 100 TB replace
+    the naive propagation with the two-phase large-star/small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the same join+min primitive with provably O(log^2 n)
+    rounds; max_iters guards runaway graphs either way."""
+    pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold, bands=bands)
+    return connected_components(pairs.select("doc_a", "doc_b"), max_iters=max_iters)
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected (doc_a, doc_b) pair list:
+    (doc_id, group_rep = min doc_id reachable). See near_dup_groups for
+    the scale discussion (large-star/small-star at 100 TB)."""
+    edges = pairs.select("doc_a", "doc_b").unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"), F.col("label").alias("nl")
+                ),
+                on="doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("nl").alias("nmin"))
+        )
+        updated = (
+            labels.join(neigh_min, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nmin") < F.col("label")).alias("_chg"),
+            )
+        ).persist()
+        changed = updated.where(F.col("_chg")).limit(1).count()
+        old = labels
+        labels = updated.drop("_chg")
+        old.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("group_rep"))
+
+
 def spread(docs: DataFrame) -> DataFrame:
     """Compute-dense ops over small/compacted inputs need an explicit
     fan-out: a 5k-row single-file table scans as ONE task, serializing the

@@ -280,9 +280,15 @@ def run_settings_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # a malformed/half-written snapshot must not wedge the stream: the
-        # reference consumer drops bad messages and keeps consuming
+        # reference consumer drops bad messages and keeps consuming.
+        # Snapshots are small config documents — the collect() is bounded
+        # explicitly (a malformed giant file is dropped like bad JSON, it
+        # must not OOM the driver).
+        max_snapshot_bytes = 64 * 1024 * 1024
+        sized = batch_df.where(F.octet_length("value") <= max_snapshot_bytes)
+        state["bad"] += batch_df.count() - sized.count()
         parsed = []
-        for r in batch_df.collect():  # snapshots are small config documents
+        for r in sized.collect():
             try:
                 parsed.append((mapping_set_from_dict(_json.loads(r.value)), r.value))
             except Exception:

@@ -198,6 +198,62 @@ def test_near_dup_plans_have_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, f"{nm}: BNLJ in plan"
 
 
+def test_connected_components_transitive(spark):
+    """Min-label propagation must find the min doc_id of each CONNECTED
+    component, not just direct neighbors: a 5-hop chain (descending ids so
+    the min label must travel the full diameter) + a disjoint pair."""
+    from sts_opentelemetry_collector_spark.operators.textops import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(50, 40), (40, 30), (30, 20), (20, 10), (10, 1), (100, 99)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.group_rep for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 10: 1, 20: 1, 30: 1, 40: 1, 50: 1, 99: 99, 100: 99}
+
+
+def test_near_dup_groups_matches_pairs(spark):
+    """End-to-end: near_dup_groups groups exactly the docs its own pair
+    generator connects (grouping = connected components of the pair
+    graph), with group_rep = component min."""
+    from sts_opentelemetry_collector_spark.operators.textops import (
+        near_dup_groups,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = spark.createDataFrame(
+        [
+            (10, base + "alpha beta", "en"),
+            (11, base + "alpha gamma", "en"),
+            (20, "completely different words entirely here nothing shared at all", "en"),
+            (21, "completely different words entirely here nothing shared at all", "en"),
+            (30, "isolated singleton document with unique content xyzzy", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    pairs = {(r.doc_a, r.doc_b)
+             for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    got = {r.doc_id: r.group_rep for r in near_dup_groups(docs, threshold=0.4).collect()}
+    # reference grouping via python union-find on the same pairs
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {d: find(d) for d in parent}
+    assert got == expected
+    assert 30 not in got  # singleton emits nothing
+
+
 def test_lsh_band_stacking_recall(spark):
     """OR-construction invariant: stacked bands can only ADD candidate
     pairs (union of per-band collisions), and every single-band pair
