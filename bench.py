@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "sg_components",
     "dedup_groups",
+    "stratified_sample",
+    "decontaminate",
 ]
 
 

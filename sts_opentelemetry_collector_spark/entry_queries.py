@@ -307,6 +307,55 @@ SQL_NGRAM_JACCARD = (
 )
 
 
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sampling: keep a doc iff its md5-derived
+    bucket < rate — reproducible across engines/runs/partitionings, zero
+    coordination (the only sampling shape that works at 10^12 rows)."""
+    from .operators.textops import stratified_sample
+
+    return stratified_sample(_t(spark, sf, "documents"), rate_pct=10)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, sample_bucket FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS sample_bucket
+  FROM documents
+) WHERE sample_bucket < 10
+"""
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: flag training docs sharing any word
+    trigram with the held-out eval set (docs with doc_id % 97 = 0 stand in
+    for the benchmark). Broadcast the tiny benchmark shingle set; corpus
+    side never shuffles."""
+    from .operators.textops import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.where((F.col("doc_id") % 97) == 0)
+    return decontaminate(docs.where((F.col("doc_id") % 97) != 0), bench, n=3)
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM toks
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+)
+SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS matched_ngrams
+FROM sh s JOIN bench USING (shingle)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+"""
+
+
 def q_near_dup_groups(spark, sf):
     """Connected-components grouping over the LSH near-dup pair graph:
     every paired doc -> min doc_id of its component (keep the rep, drop
@@ -1677,6 +1726,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_groups": q_near_dup_groups,
+    "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1733,6 +1784,8 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_groups": SQL_NEAR_DUP_GROUPS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "decontaminate": SQL_DECONTAMINATE,
     "dedup_minhash_lsh": SQL_MINHASH_LSH,
     "dedup_simhash": SQL_SIMHASH,
     "dedup_simhash_pairs": SQL_SIMHASH_PAIRS,

@@ -441,3 +441,67 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (the D5 content-hash pattern applied to documents)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def hash_mod_expr(key_col: str = "doc_id", mod: int = 100):
+    """Engine-portable deterministic pseudo-random bucket in [0, mod):
+    first 8 hex chars of md5(key) as an int, mod'ed. md5 is bit-identical
+    in Spark and DuckDB, unlike xxhash64/hash() — the same portability
+    rule as the dedup family."""
+    return F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % mod
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    rate_pct: int = 10,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its md5-derived
+    bucket < rate_pct — every stratum is sampled at the same rate with
+    zero coordination (no count pass, no RNG state), the only sampling
+    shape that works on 10^12 rows: embarrassingly parallel, reproducible
+    across runs/engines/cluster sizes, and stable under re-partitioning
+    (the keep decision depends only on the key). Returns the kept rows
+    with their bucket (for audit)."""
+    bucket = hash_mod_expr(key_col)
+    return (
+        docs.select(key_col, strata_col, bucket.alias("sample_bucket"))
+        .where(F.col("sample_bucket") < rate_pct)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with an evaluation/benchmark set (the standard leakage gate
+    before training). Output: (doc_id, matched_ngrams) for contaminated
+    docs only.
+
+    Scale shape: the benchmark side is tiny (eval sets are thousands of
+    docs) — its DISTINCT shingles broadcast; the corpus side explodes
+    shingles and inner-joins the broadcast, so cost is corpus-linear with
+    NO shuffle of corpus rows (broadcast hash join), then one groupBy on
+    the surviving (rare) matches."""
+    # guard: a doc with < n tokens has no shingles (F.sequence(1, size-2)
+    # would DESCEND for short docs instead of being empty)
+    def safe_shingles():
+        return F.when(
+            F.size(tokens_col(text_col)) >= n, shingles_col(text_col, n=n)
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench_sh = (
+        benchmark.select(F.explode(safe_shingles()).alias("shingle")).distinct()
+    )
+    doc_sh = docs.select("doc_id", F.explode(safe_shingles()).alias("shingle"))
+    return (
+        doc_sh.join(F.broadcast(bench_sh), on="shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("shingle")).alias("matched_ngrams"))
+    )
