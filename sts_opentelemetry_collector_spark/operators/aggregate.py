@@ -210,6 +210,8 @@ def telemetry_counters(
         (run_id, "mapping_errors_total", "", int(mapping_errors)),
         (run_id, "mappings_removed_total", "", int(mappings_removed)),
     ]
+    # config-scale driver frame: one partition, not defaultParallelism
+    # (repartition, not coalesce — coalesce(1) stalls on local relations)
     return spark.createDataFrame(
         rows, "run_id string, metric string, label string, value long"
-    )
+    ).repartition(1)

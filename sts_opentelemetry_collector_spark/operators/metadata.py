@@ -47,7 +47,9 @@ def stream_metadata(spark: SparkSession, mappings: MappingSet) -> DataFrame:
                 (m.identifier, m.identifier, kind, mappings.version,
                  _routing_attrs(m.identifier))
             )
-    return spark.createDataFrame(rows, METADATA_SCHEMA)
+    # config-scale driver frame: one partition, not defaultParallelism
+    # (repartition, not coalesce — coalesce(1) stalls on local relations)
+    return spark.createDataFrame(rows, METADATA_SCHEMA).repartition(1)
 
 
 def metadata_tombstones(spark: SparkSession, removed: list[str]) -> DataFrame:
@@ -56,4 +58,4 @@ def metadata_tombstones(spark: SparkSession, removed: list[str]) -> DataFrame:
     return spark.createDataFrame(
         [(d, True, _routing_attrs(d)) for d in removed],
         "data_source string, tombstone boolean, attrs map<string,string>",
-    )
+    ).repartition(1)

@@ -78,8 +78,10 @@ def removal_tombstones(spark: SparkSession, removed_data_sources: list[str]) -> 
         )
     ds = spark.createDataFrame(
         [(d,) for d in removed_data_sources], "data_source string"
+    ).repartition(1)
+    shards = spark.range(SHARD_COUNT, numPartitions=1).select(
+        F.col("id").cast("int").alias("shard_id")
     )
-    shards = spark.range(SHARD_COUNT).select(F.col("id").cast("int").alias("shard_id"))
     return ds.crossJoin(shards).withColumn("tombstone", F.lit(True))
 
 

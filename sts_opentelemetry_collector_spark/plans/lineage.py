@@ -79,7 +79,11 @@ class Manifest:
             ],
             "run_id string, lineage_partition int, input_split string, row_count long, parse_failures long",
         ).withColumn("completed_at", F.current_timestamp())
-        df.write.mode("append").parquet(self.path)
+        # driver-built config-scale frame: repartition(1) => one file per
+        # record() instead of defaultParallelism. (NB repartition, NOT
+        # coalesce: coalesce(1) on a local relation drops the
+        # LocalTableScan fast path and stalls ~6s/write — measured.)
+        df.repartition(1).write.mode("append").parquet(self.path)
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)

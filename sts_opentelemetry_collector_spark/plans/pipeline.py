@@ -149,9 +149,11 @@ def publish_element_stream(
         if sinks.exists("known_streams")
         else None
     )
+    # dimension-scale (a handful of (data_source, shard) pairs): one
+    # output file per collection, not defaultParallelism empties
     first_seen = new_streams(elements, known).withColumn(
         "run_id", F.lit(collection_ts)
-    )
+    ).repartition(1)
     fs_obs = Observation(f"first_seen_{collection_ts}")
     sinks.append(
         first_seen.observe(fs_obs, F.count(F.lit(1)).alias("n")),
@@ -402,7 +404,7 @@ def run_pipeline(
         spark.createDataFrame(
             err_rows,
             "data_source string, signal string, error string, error_count long",
-        ),
+        ).repartition(1),
         "mapping_errors",
         partition_by=None,
     )
