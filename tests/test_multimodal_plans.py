@@ -167,6 +167,39 @@ def test_broadcast_join_chosen_for_dims(spark, webtext):
     assert "SortMergeJoin" not in plan
 
 
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The corpus side must never shuffle: the benchmark shingle set joins
+    as a BroadcastHashJoin (docstring contract, operators/textops.py)."""
+    from sts_opentelemetry_collector_spark.operators.textops import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, "some words repeated here for the shingle window test", "en")
+         for i in range(50)],
+        "doc_id long, text string, lang string",
+    )
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    plan = (
+        decontaminate(docs, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_is_scan_local(spark):
+    """Hash-mod sampling must be a pure scan+filter: no shuffle, no join
+    — the property that makes it viable at 10^12 rows."""
+    from sts_opentelemetry_collector_spark.operators.textops import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "text", f"l{i%3}") for i in range(50)],
+        "doc_id long, text string, lang string",
+    )
+    plan = stratified_sample(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
 def test_aggregation_is_partial_then_final(spark, webtext):
     # map-side combine: two HashAggregate levels around the shuffle
     agg = webtext.groupBy("lang").count()
