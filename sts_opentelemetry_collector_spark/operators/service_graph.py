@@ -211,49 +211,62 @@ def metrics_to_relations(counters: DataFrame) -> DataFrame:
     server_target = _instance_urn(
         F.col("server_namespace"), F.col("server"), F.col("server_instance_id")
     )
+    db_target = F.format_string(
+        "urn:opentelemetry:namespace/%s:service/%s:database/%s",
+        F.col("client_namespace"), F.col("client"), F.col("server"),
+    )
+    has_peer = F.col("client_peer_service").isNotNull()
+    has_server_ns = F.col("server_namespace").isNotNull()
 
-    sync = conn.where(
-        (F.col("connection_type") == "") & F.col("server_namespace").isNotNull()
-    ).select(
-        F.col("source_id"),
-        server_target.alias("target_id"),
-        F.lit("synchronous").alias("type_name"),
+    def rel(src, tgt, tname):
+        return F.struct(
+            src.alias("source_id"), tgt.alias("target_id"),
+            F.lit(tname).alias("type_name"),
+        )
+
+    null_rel = F.lit(None).cast(
+        "struct<source_id:string,target_id:string,type_name:string>"
     )
-    asyn = conn.where(
-        (F.col("connection_type") == "messaging_system")
-        & F.col("server_namespace").isNotNull()
-    )
-    asyn_main = asyn.select(
-        F.col("source_id"),
-        F.when(F.col("client_peer_service").isNotNull(), peer_target)
-        .otherwise(server_target)
-        .alias("target_id"),
-        F.lit("asynchronous").alias("type_name"),
+    # ONE pass: each counters row yields 0-2 relation structs via a when
+    # cascade (a union of filtered branches would recompute the whole
+    # counters subtree once per branch — measured 4x the work)
+    primary = (
+        F.when(
+            (F.col("connection_type") == "") & has_server_ns,
+            rel(F.col("source_id"), server_target, "synchronous"),
+        )
+        .when(
+            (F.col("connection_type") == "messaging_system") & has_server_ns,
+            rel(
+                F.col("source_id"),
+                F.when(has_peer, peer_target).otherwise(server_target),
+                "asynchronous",
+            ),
+        )
+        .when(
+            F.col("connection_type") == "database",
+            rel(
+                F.col("source_id"),
+                F.when(has_peer, peer_target).otherwise(db_target),
+                "database",
+            ),
+        )
     )
     # producer->peer AND consumer->peer (topology.go:283-289)
-    asyn_consumer = asyn.where(F.col("client_peer_service").isNotNull()).select(
-        server_target.alias("source_id"),
-        peer_target.alias("target_id"),
-        F.lit("asynchronous").alias("type_name"),
+    secondary = F.when(
+        (F.col("connection_type") == "messaging_system") & has_server_ns & has_peer,
+        rel(server_target, peer_target, "asynchronous"),
+    ).otherwise(null_rel)
+    rels = conn.select(
+        F.explode(
+            F.filter(F.array(primary, secondary), lambda r: r.isNotNull())
+        ).alias("r")
     )
-    db = conn.where(F.col("connection_type") == "database").select(
-        F.col("source_id"),
-        F.when(F.col("client_peer_service").isNotNull(), peer_target)
-        .otherwise(
-            F.format_string(
-                "urn:opentelemetry:namespace/%s:service/%s:database/%s",
-                F.col("client_namespace"), F.col("client"), F.col("server"),
-            )
-        )
-        .alias("target_id"),
-        F.lit("database").alias("type_name"),
-    )
-    rels = sync.unionByName(asyn_main).unionByName(asyn_consumer).unionByName(db)
     return rels.select(
-        F.concat_ws("-", F.col("source_id"), F.col("target_id")).alias("external_id"),
-        F.col("source_id").alias("source_identifier"),
-        F.col("target_id").alias("target_identifier"),
-        "type_name",
+        F.concat_ws("-", F.col("r.source_id"), F.col("r.target_id")).alias("external_id"),
+        F.col("r.source_id").alias("source_identifier"),
+        F.col("r.target_id").alias("target_identifier"),
+        F.col("r.type_name").alias("type_name"),
     ).distinct()
 
 
