@@ -99,6 +99,10 @@ def ngram_jaccard_pairs(
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])  # a pair may share several bands
+        # candidate-volume frame referenced 4x downstream (cand_ids union
+        # sides + the two shingle joins): without persist each reference
+        # re-evaluates the signature+join subtree — measured ~2x the query
+        .persist()
     )
     # compute shingles ONLY for docs that appear in a candidate pair: the
     # broadcast semi-join prunes rows before the (expensive) shingle
@@ -113,6 +117,7 @@ def ngram_jaccard_pairs(
     t = (
         docs.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
         .select(F.col("doc_id"), shingles_col(n=n).alias("sh"))
+        .persist()  # referenced twice (sh_a / sh_b joins)
     )
     paired = (
         candidates.join(t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), on="doc_a")
