@@ -257,7 +257,11 @@ def near_dup_pairs_lsh(
             F.col("embedding"), lambda x: x.cast("double") / F.col("_n")
         ).alias("nv"),
         F.posexplode(F.col("_bb")).alias("band", "bucket"),
-    )
+    ).persist()
+    # ^ the self-join references the normalized+bucketed frame twice and
+    # Spark re-evaluates per reference (norms + bands recomputed). Persist
+    # = the materialized LSH-index pattern; at 100 TB this frame IS a
+    # bucketed table on disk, built once per corpus snapshot.
     a, b = t.alias("a"), t.alias("b")
     cos = F.round(_dot(F.col("a.nv"), F.col("b.nv")), 4)
     out_cols = [

@@ -350,7 +350,9 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
     ).select(
         "doc_id", "simhash", F.col("ch.chunk_idx").alias("chunk_idx"),
         F.col("ch.chunk_val").alias("chunk_val"),
-    )
+    ).persist()
+    # ^ the self-join references the signature frame twice; persist is the
+    # materialized-signature-index pattern (at scale this IS a table)
     a, b = chunked.alias("a"), chunked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
