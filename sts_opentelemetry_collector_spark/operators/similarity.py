@@ -140,9 +140,14 @@ def ivf_assign(
 def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
     """Per-vector nearest-centroid assignment (vec_id, centroid_id,
     embedding) — the IVF partitioning used by both the build-side
-    histogram (ivf_assign) and the query-side probe (ivf_topk)."""
-    from pyspark.sql import Window
+    histogram (ivf_assign) and the query-side probe (ivf_topk).
 
+    argmin via max_by over (sim, -centroid_id) — a hash aggregate with
+    map-side partial combine. (A row_number window would shuffle AND sort
+    the K-times-expanded frame; the agg shuffles at most one partial row
+    per (vec_id, partition) — the difference between sort-based and
+    hash-based top-1 at 100 TB.) Tie-break: highest sim, then lowest
+    centroid id — identical to the previous window ordering."""
     cents = embeddings.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
     )
@@ -156,11 +161,15 @@ def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
             4,
         ).alias("sim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    best = F.max_by(
+        F.struct(F.col("centroid_id"), F.col("embedding")),
+        F.struct(F.col("sim"), (-F.col("centroid_id")).alias("neg_cid")),
+    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "sim")
+        scored.groupBy("vec_id")
+        .agg(best.alias("_m"))
+        .select("vec_id", F.col("_m.embedding").alias("embedding"),
+                F.col("_m.centroid_id").alias("centroid_id"))
     )
 
 
