@@ -307,6 +307,69 @@ SQL_NGRAM_JACCARD = (
 )
 
 
+def q_repetition_stats(spark, sf):
+    """Gopher-style repetition filters: duplicate-word / top-word /
+    duplicate-bigram fractions + keep verdict, all row-local HOFs (zero
+    shuffles — the scan-bound quality gate before dedup)."""
+    from .operators.textops import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents"))
+
+
+SQL_REPETITION_STATS = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         len(list_distinct(toks)) AS u,
+         list_max(list_transform(list_distinct(toks),
+                  d -> len(list_filter(toks, t2 -> t2 = d)))) AS top,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS bg
+  FROM t
+)
+SELECT doc_id, n AS n_tokens,
+       round(1.0 - CAST(u AS DOUBLE) / n, 4) AS dup_word_frac,
+       round(CAST(top AS DOUBLE) / n, 4) AS top_word_frac,
+       CASE WHEN len(bg) > 0
+            THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+            ELSE 0.0 END AS dup_bigram_frac,
+       (round(CAST(top AS DOUBLE) / n, 4) <= 0.1
+        AND CASE WHEN len(bg) > 0
+             THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+             ELSE 0.0 END <= 0.75) AS keep
+FROM s
+"""
+
+
+def q_tfidf_top_terms(spark, sf):
+    """Corpus TF-IDF top term per doc: two partial-agg groupBys, a
+    token-keyed equi-join (AQE handles Zipf skew), a 1-row N broadcast,
+    and a min_by hash-agg argmax — no windows, no all-pairs."""
+    from .operators.textops import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf, "documents"))
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (token), n
+)
+SELECT doc_id, token AS top_term, tf, df, tfidf FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) = 1
+"""
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic stratified sampling: keep a doc iff its md5-derived
     bucket < rate — reproducible across engines/runs/partitionings, zero
@@ -1726,6 +1789,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_groups": q_near_dup_groups,
+    "repetition_stats": q_repetition_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
     "dedup_minhash_lsh": q_minhash_lsh,
@@ -1784,6 +1849,8 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_groups": SQL_NEAR_DUP_GROUPS,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "decontaminate": SQL_DECONTAMINATE,
     "dedup_minhash_lsh": SQL_MINHASH_LSH,

@@ -450,6 +450,109 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_top_word_frac: float = 0.1,
+    max_dup_bigram_frac: float = 0.75,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc
+    duplicate-word fraction, top-word fraction, and duplicate-bigram
+    fraction, plus the keep/drop verdict — the standard "excessively
+    repetitious page" gate a webtext training pipeline runs before dedup.
+
+    Scale shape: every stat is row-local (HOFs over the token array inside
+    whole-stage codegen) — zero shuffles, scan-bound at any corpus size.
+    The top-word count is an O(u·n) per-row fold (u = distinct tokens);
+    natural-language vocabularies keep u small relative to n, and the work
+    never leaves the row."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    uniq = F.array_distinct(toks)
+    top = F.array_max(
+        F.transform(uniq, lambda d: F.size(F.filter(toks, lambda t: t == d)))
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    dup_word_frac = F.round(F.lit(1.0) - F.size(uniq).cast("double") / n, 4)
+    top_word_frac = F.round(top.cast("double") / n, 4)
+    dup_bigram_frac = F.when(
+        nb > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / nb, 4),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        dup_word_frac.alias("dup_word_frac"),
+        top_word_frac.alias("top_word_frac"),
+        dup_bigram_frac.alias("dup_bigram_frac"),
+        (
+            (top_word_frac <= F.lit(max_top_word_frac))
+            & (dup_bigram_frac <= F.lit(max_dup_bigram_frac))
+        ).alias("keep"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus TF-IDF: per-doc top-scoring term (the classic keyword /
+    topic-signal extraction a training-data pipeline runs for domain
+    bucketing). score = tf · ln(N/df).
+
+    Scale shape (10^12 docs): (doc, token) term frequencies and per-token
+    document frequencies are both hash groupBys with map-side partial
+    combine; tf⋈df is a token-keyed equi-join (Zipf-skewed heads handled
+    by AQE skew-join); the corpus size N is a 1-row broadcast; the per-doc
+    argmax is a min_by hash aggregate over struct(-score, token) — NOT a
+    row_number window, which would sort-shuffle the full exploded frame.
+    Tie-break on the ROUNDED score then token asc keeps the argmax
+    engine-portable (ln ULP differences can't flip the winner)."""
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, on="token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    best = F.min_by(
+        F.struct("token", "tf", "df", "tfidf"),
+        F.struct((-F.col("tfidf")).alias("neg"), F.col("token")),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(best.alias("_m"))
+        .select(
+            "doc_id",
+            F.col("_m.token").alias("top_term"),
+            F.col("_m.tf").alias("tf"),
+            F.col("_m.df").alias("df"),
+            F.col("_m.tfidf").alias("tfidf"),
+        )
+    )
+
+
 def hash_mod_expr(key_col: str = "doc_id", mod: int = 100):
     """Engine-portable deterministic pseudo-random bucket in [0, mod):
     first 8 hex chars of md5(key) as an int, mod'ed. md5 is bit-identical

@@ -200,6 +200,47 @@ def test_stratified_sample_is_scan_local(spark):
     assert "Join" not in plan
 
 
+def test_repetition_stats_is_scan_local(spark):
+    """Gopher repetition filters must be pure row-local HOFs: no shuffle,
+    no join — scan-bound at any corpus size (and correct: the known-
+    repetitive doc is dropped, the diverse one kept)."""
+    from sts_opentelemetry_collector_spark.operators.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "spam spam spam spam spam spam spam spam spam spam"),
+         (1, "a genuinely varied sentence with distinct words throughout here now")],
+        "doc_id long, text string",
+    )
+    out = repetition_stats(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].keep is False and rows[0].top_word_frac == 1.0
+    assert rows[1].keep is True and rows[1].dup_word_frac == 0.0
+
+
+def test_tfidf_argmax_is_hash_agg_not_window(spark):
+    """The per-doc argmax must be a min_by hash aggregate, not a
+    row_number window (which would sort-shuffle the exploded frame);
+    df-side join must be an equi-join, and idf must rank rare terms up."""
+    from sts_opentelemetry_collector_spark.operators.textops import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(i, f"common common common {'rare' + str(i) if i == 3 else 'common'}")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    rows = {r.doc_id: r for r in out.collect()}
+    # doc 3's unique term beats 'common' (df=8 => idf=0) everywhere
+    assert rows[3].top_term == "rare3" and rows[3].df == 1
+    assert rows[0].tfidf == 0.0  # all-common doc: ln(8/8) = 0
+
+
 def test_aggregation_is_partial_then_final(spark, webtext):
     # map-side combine: two HashAggregate levels around the shuffle
     agg = webtext.groupBy("lang").count()
