@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "dedup_groups",
     "stratified_sample",
     "decontaminate",
+    "repetition_stats",
+    "tfidf_top_terms",
+    "sg_latency_quantiles",
 ]
 
 

@@ -989,6 +989,7 @@ def q_sg_edge_metrics(spark, sf):
 _SG_EDGES_CTE = """
 WITH e AS (
   SELECT event_id, user_id, event_type,
+         (CAST(floor(value*10) AS BIGINT) % 2000) AS lat_ms,
          (event_type='purchase' AND event_id%10<2) AS is_db,
          (event_type='signup') AS is_async,
          (event_type='error' AND event_id%2=0) AS cfail,
@@ -1017,7 +1018,8 @@ WITH e AS (
               THEN client_svc || '-i' || CAST(user_id%3 AS VARCHAR) END AS client_instance_id,
          CASE WHEN is_db THEN NULL WHEN event_id%3=0
               THEN server_svc || '-i' || CAST(user_id%2 AS VARCHAR) END AS server_instance_id,
-         peer AS client_peer_service
+         peer AS client_peer_service,
+         lat_ms / 1000.0 AS client_latency_sec
   FROM e2
 )
 """
@@ -1034,6 +1036,45 @@ SELECT client, server, connection_type,
        COUNT(*) AS req_total,
        CAST(SUM(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS req_failed_total
 FROM edges GROUP BY client, server, connection_type
+"""
+
+
+def q_sg_latency_quantiles(spark, sf):
+    """A3-adjacent: exact p50/p95/p99 client latency per service edge via
+    Spark's partial-mergeable native percentile aggregate (the SLO numbers
+    the A3 histogram approximates); oracle mirrors Spark's exact
+    lowerKey + (pos - floor(pos)) * (higherKey - lowerKey) interpolation
+    over a sorted list, bit-identical IEEE ops."""
+    from .operators.aggregate import latency_quantiles
+    from .operators.service_graph import build_edges
+    from .sources.spans import spans_from_events
+
+    edges = build_edges(spans_from_events(_t(spark, sf, "events")))
+    return latency_quantiles(
+        edges, ["client", "server", "connection_type"], "client_latency_sec"
+    )
+
+
+def _pct_interp_sql(q: float) -> str:
+    """Mirror of Spark Percentile.getPercentile (exact interpolation at
+    pos = q*(n-1)) over DuckDB's sorted list v."""
+    pos = f"{q}*(n-1)"
+    lo = f"v[CAST(floor({pos}) AS BIGINT)+1]"
+    hi = f"v[CAST(ceil({pos}) AS BIGINT)+1]"
+    return f"round({lo} + ({pos} - floor({pos})) * ({hi} - {lo}), 6)"
+
+
+SQL_SG_LATENCY_QUANTILES = _SG_EDGES_CTE + f"""
+, vals AS (
+  SELECT client, server, connection_type,
+         list_sort(list(client_latency_sec)) AS v, COUNT(*) AS n
+  FROM edges GROUP BY 1, 2, 3
+)
+SELECT client, server, connection_type, n,
+       {_pct_interp_sql(0.5)} AS p50_sec,
+       {_pct_interp_sql(0.95)} AS p95_sec,
+       {_pct_interp_sql(0.99)} AS p99_sec
+FROM vals
 """
 
 
@@ -1813,6 +1854,7 @@ QUERIES = {
     "set_ops": q_set_ops,
     "tpch_q3_agg": q_tpch_q3_agg,
     "sg_edge_metrics": q_sg_edge_metrics,
+    "sg_latency_quantiles": q_sg_latency_quantiles,
     "sg_relations": q_sg_relations,
     "sg_components": q_sg_components,
     "a7_resource_components": q_a7_resource_components,
@@ -1867,6 +1909,7 @@ ORACLES = {
     "r1_shard_routing": SQL_R1,
     "r3_fanout_counts": SQL_R3,
     "sg_edge_metrics": SQL_SG_EDGE_METRICS,
+    "sg_latency_quantiles": SQL_SG_LATENCY_QUANTILES,
     "sg_relations": SQL_SG_RELATIONS,
     "sg_components": SQL_SG_COMPONENTS,
     "a7_resource_components": SQL_A7_COMPONENTS,

@@ -79,6 +79,34 @@ def latency_histogram(
     return assembled.withColumn("bucket_counts", dense).drop("_m")
 
 
+def latency_quantiles(
+    edges: DataFrame,
+    dims: list[str],
+    latency_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """A3-adjacent: exact per-dimension latency percentiles — the SLO
+    numbers the reference's explicit-bucket histogram (A3) only
+    approximates (a backend reads p95 off bucket_counts; here the engine
+    computes it exactly).
+
+    Spark's native `percentile` aggregate is partial-mergeable (a per-group
+    value->count map merged map-side, NOT a collect_list), interpolating
+    lowerKey + (pos - floor(pos)) * (higherKey - lowerKey) at
+    pos = q*(n-1) — the DuckDB oracle mirrors that exact IEEE expression
+    over a sorted list so results are bit-identical. At 100 TB, groups
+    with very high distinct-latency cardinality should switch to
+    percentile_approx (t-digest sketch, bounded memory) or read quantiles
+    off the A3 histogram; same plan shape, one aggregate swap."""
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.round(F.percentile(F.col(latency_col), F.lit(q)), 6).alias(
+            f"p{int(q * 100)}_sec"
+        )
+        for q in qs
+    ]
+    return edges.groupBy(*dims).agg(*aggs)
+
+
 def windowed_rollup(
     df: DataFrame,
     ts_col: str = "warc_ts",
