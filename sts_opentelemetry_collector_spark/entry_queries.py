@@ -310,10 +310,12 @@ SQL_NGRAM_JACCARD = (
 def q_repetition_stats(spark, sf):
     """Gopher-style repetition filters: duplicate-word / top-word /
     duplicate-bigram fractions + keep verdict, all row-local HOFs (zero
-    shuffles — the scan-bound quality gate before dedup)."""
-    from .operators.textops import repetition_stats
+    shuffles — the scan-bound quality gate before dedup). spread() here
+    only splits the compacted single-file sample; the operator itself
+    stays shuffle-free (plan-gated)."""
+    from .operators.textops import repetition_stats, spread
 
-    return repetition_stats(_t(spark, sf, "documents"))
+    return repetition_stats(spread(_t(spark, sf, "documents")))
 
 
 SQL_REPETITION_STATS = """

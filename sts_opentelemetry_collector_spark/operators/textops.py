@@ -161,11 +161,17 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Min-label propagation over an undirected (doc_a, doc_b) pair list:
     (doc_id, group_rep = min doc_id reachable). See near_dup_groups for
     the scale discussion (large-star/small-star at 100 TB)."""
-    edges = pairs.select("doc_a", "doc_b").unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    )
+    # symmetrize via ONE explode, not a union of two selects: a union has
+    # two subtrees each re-evaluating the (expensive) upstream pair
+    # generator before the persist below can serve either
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("doc_a"), F.col("doc_b").alias("doc_b")),
+                F.struct(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")),
+            )
+        ).alias("e")
+    ).select("e.doc_a", "e.doc_b")
     edges = edges.persist()
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
@@ -466,7 +472,12 @@ def repetition_stats(
     The top-word count is an O(u·n) per-row fold (u = distinct tokens);
     natural-language vocabularies keep u small relative to n, and the work
     never leaves the row."""
-    toks = tokens_col(text_col)
+    # materialize the token array ONCE: interpreted HOFs have no CSE, so
+    # a `tokens_col()` expression referenced inside the per-distinct-token
+    # count lambda would re-split the text u times per row (the same
+    # O(dim^2) trap as the embedding-LSH norm hoist, similarity.py)
+    base = docs.select("doc_id", tokens_col(text_col).alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     uniq = F.array_distinct(toks)
     top = F.array_max(
@@ -488,7 +499,7 @@ def repetition_stats(
         nb > 0,
         F.round(F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / nb, 4),
     ).otherwise(F.lit(0.0))
-    return docs.select(
+    return base.select(
         "doc_id",
         n.alias("n_tokens"),
         dup_word_frac.alias("dup_word_frac"),
@@ -609,7 +620,10 @@ def decontaminate(
     bench_sh = (
         benchmark.select(F.explode(safe_shingles()).alias("shingle")).distinct()
     )
-    doc_sh = docs.select("doc_id", F.explode(safe_shingles()).alias("shingle"))
+    # spread: a compacted single-file corpus sample would otherwise run
+    # the whole shingle explode in ONE task (at 100 TB inputs arrive
+    # pre-split and this repartition is a no-op to remove)
+    doc_sh = spread(docs).select("doc_id", F.explode(safe_shingles()).alias("shingle"))
     return (
         doc_sh.join(F.broadcast(bench_sh), on="shingle")
         .groupBy("doc_id")
