@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "tfidf_top_terms",
     "sg_latency_quantiles",
+    "k5_exp_histogram",
 ]
 
 

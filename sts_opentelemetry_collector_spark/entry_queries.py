@@ -646,6 +646,64 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_k5_exp_histogram(spark, sf):
+    """A3b/K5: scale-0 exponential histogram per event_type over integer
+    latency ms, in the reference's ClickHouse exp-histogram row shape
+    (exponential_histogram_metrics.go:36-41). Dense bucket-counts array
+    compared via md5 digest (engine array stringification differs)."""
+    from .operators.aggregate import exp_histogram
+
+    e = _t(spark, sf, "events")
+    m = e.select(
+        "event_type",
+        (F.floor(F.col("value") * 10).cast("long") % 2000).alias("lat_ms"),
+    )
+    h = exp_histogram(m, ["event_type"], "lat_ms")
+    return h.select(
+        "event_type",
+        "scale",
+        "zero_count",
+        "positive_offset",
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.col("positive_bucket_counts"), lambda x: x.cast("string")
+                ),
+                ",",
+            )
+        ).alias("bucket_counts_digest"),
+        "count",
+        "sum",
+    )
+
+
+SQL_K5_EXP_HISTOGRAM = """
+WITH m AS (
+  SELECT event_type, CAST(floor(value*10) AS BIGINT) % 2000 AS x FROM events
+), b AS (
+  SELECT event_type, x,
+         CASE WHEN x > 0 THEN CAST(length(bin(x)) - 1 AS INT) END AS idx
+  FROM m
+), g AS (
+  SELECT event_type,
+         list(idx) FILTER (WHERE idx IS NOT NULL) AS idxs,
+         COUNT(*) AS count,
+         CAST(SUM(x) AS BIGINT) AS sum,
+         CAST(COALESCE(COUNT(*) FILTER (WHERE x = 0), 0) AS BIGINT) AS zero_count,
+         MIN(idx) AS off, MAX(idx) AS mx
+  FROM b GROUP BY 1
+)
+SELECT event_type, 0 AS scale, zero_count,
+       COALESCE(off, 0) AS positive_offset,
+       md5(array_to_string(
+         list_transform(range(CAST(off AS BIGINT), CAST(mx AS BIGINT) + 1),
+                        i -> CAST(len(list_filter(idxs, v -> v = i)) AS VARCHAR)),
+         ',')) AS bucket_counts_digest,
+       count, sum
+FROM g
+"""
+
+
 def q_a6_envelope_groups(spark, sf):
     """A6: message coalescing — per (key, ts-minute) envelope stats."""
     e = _t(spark, sf, "events")
@@ -1875,6 +1933,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "k5_metrics_dispatch": q_k5_metrics_dispatch,
+    "k5_exp_histogram": q_k5_exp_histogram,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
 }
@@ -1936,6 +1995,7 @@ ORACLES = {
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "k5_metrics_dispatch": SQL_K5,
+    "k5_exp_histogram": SQL_K5_EXP_HISTOGRAM,
     "embedding_near_dup": SQL_NEAR_DUP,
     "embedding_near_dup_lsh": SQL_NEAR_DUP_LSH,
 }

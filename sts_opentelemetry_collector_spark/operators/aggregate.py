@@ -79,6 +79,65 @@ def latency_histogram(
     return assembled.withColumn("bucket_counts", dense).drop("_m")
 
 
+def exp_histogram(
+    df: DataFrame, dims: list[str], value_col: str
+) -> DataFrame:
+    """A3b: scale-0 (base-2) exponential histogram over a non-negative
+    INTEGER measure (latency ms, byte sizes — the usual telemetry units),
+    in the reference's ClickHouse exp-histogram row shape: Scale,
+    ZeroCount, PositiveOffset, dense PositiveBucketCounts
+    (clickhousestsexporter/internal/exponential_histogram_metrics.go:36-41,
+    :148-153 — the reference stores OTLP exp-histogram datapoints; this
+    operator AGGREGATES raw measures into that shape).
+
+    Bucket index for x>0 is floor(log2(x)) = bit_length(x)-1, computed as
+    length(conv(x, 10, 2)) - 1 — pure integer/string ops, bit-identical
+    across engines (a float log2 would risk ULP flips at powers of two).
+    Buckets are [2^k, 2^(k+1)); OTel's lower-exclusive convention differs
+    only at exact powers of two (documented deviation). Negative measures
+    are out of scope (telemetry magnitudes); zeros land in ZeroCount.
+
+    Plan: same two-phase shape as latency_histogram — one groupBy on
+    (dims, idx) with map-side combine, then one groupBy dims assembling
+    the dense array JVM-side. Two shuffles total, no UDFs."""
+    x = F.col(value_col).cast("long")
+    idx = F.when(
+        x > 0, (F.length(F.conv(x.cast("string"), 10, 2)) - 1).cast("int")
+    )
+    per_bucket = df.select(*dims, x.alias("_x"), idx.alias("_idx")).groupBy(
+        *dims, "_idx"
+    ).agg(F.count(F.lit(1)).alias("_cnt"), F.sum("_x").alias("_sum"))
+    assembled = per_bucket.groupBy(*dims).agg(
+        F.sum("_cnt").alias("count"),
+        F.sum("_sum").alias("sum"),
+        F.coalesce(
+            F.sum(F.when(F.col("_idx").isNull(), F.col("_cnt"))), F.lit(0)
+        ).alias("zero_count"),
+        F.min("_idx").alias("_off"),
+        F.max("_idx").alias("_mx"),
+        F.map_from_entries(
+            F.collect_list(
+                F.when(
+                    F.col("_idx").isNotNull(), F.struct(F.col("_idx"), F.col("_cnt"))
+                )
+            )
+        ).alias("_m"),
+    )
+    dense = F.transform(
+        F.sequence(F.col("_off"), F.col("_mx")),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("long")),
+    )
+    return assembled.select(
+        *dims,
+        F.lit(0).alias("scale"),
+        "zero_count",
+        F.coalesce(F.col("_off"), F.lit(0)).alias("positive_offset"),
+        dense.alias("positive_bucket_counts"),
+        "count",
+        "sum",
+    )
+
+
 def latency_quantiles(
     edges: DataFrame,
     dims: list[str],

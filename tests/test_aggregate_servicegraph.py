@@ -210,3 +210,28 @@ def test_usage_bytes(spark):
     row = usage_bytes(df, ["a", "b"]).first()
     assert row.usage_bytes == 3 + 2 + 1 + 0
     assert row.record_count == 2
+
+
+def test_exp_histogram_bucket_math(spark):
+    """Scale-0 base-2 buckets: idx = bit_length(x)-1 for x>0, zeros in
+    ZeroCount, dense counts from positive_offset (reference ClickHouse
+    exp-histogram row shape, exponential_histogram_metrics.go:36-41)."""
+    from sts_opentelemetry_collector_spark.operators.aggregate import exp_histogram
+
+    #           x: 0  1  2  3  4  7  8  16
+    # idx(scale0):  -  0  1  1  2  2  3  4
+    df = spark.createDataFrame(
+        [("a", x) for x in (0, 1, 2, 3, 4, 7, 8, 16)], "k string, x long"
+    )
+    r = exp_histogram(df, ["k"], "x").first()
+    assert r.scale == 0
+    assert r.zero_count == 1
+    assert r.positive_offset == 0
+    assert list(r.positive_bucket_counts) == [1, 2, 2, 1, 1]
+    assert r["count"] == 8 and r["sum"] == 41
+
+    # group with a gap (x in {1, 16}): dense array zero-fills idx 1..3
+    df2 = spark.createDataFrame([("b", 1), ("b", 16)], "k string, x long")
+    r2 = exp_histogram(df2, ["k"], "x").first()
+    assert r2.positive_offset == 0
+    assert list(r2.positive_bucket_counts) == [1, 0, 0, 0, 1]
