@@ -235,3 +235,37 @@ def test_exp_histogram_bucket_math(spark):
     r2 = exp_histogram(df2, ["k"], "x").first()
     assert r2.positive_offset == 0
     assert list(r2.positive_bucket_counts) == [1, 0, 0, 0, 1]
+
+
+def test_exp_histogram_invariants_on_events(spark):
+    """sum(positive_bucket_counts) + zero_count == count for every group;
+    offset is the index of the first non-zero bucket."""
+    import pyspark.sql.functions as F
+    from sts_opentelemetry_collector_spark.operators.aggregate import exp_histogram
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type",
+        (F.floor(F.col("value") * 10).cast("long") % 2000).alias("x"),
+    )
+    for r in exp_histogram(e, ["event_type"], "x").collect():
+        assert sum(r.positive_bucket_counts) + r.zero_count == r["count"]
+        assert r.positive_bucket_counts[0] > 0  # dense array starts at offset
+        assert r.positive_bucket_counts[-1] > 0  # and ends at max idx
+
+
+def test_latency_quantiles_ordered_and_bounded(spark):
+    """p50 <= p95 <= p99, all within [min, max] of the group; n matches."""
+    from sts_opentelemetry_collector_spark.operators.aggregate import latency_quantiles
+    from sts_opentelemetry_collector_spark.operators.service_graph import build_edges
+    from sts_opentelemetry_collector_spark.sources.spans import spans_from_events
+
+    edges = build_edges(
+        spans_from_events(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    )
+    out = latency_quantiles(
+        edges, ["client", "server", "connection_type"], "client_latency_sec"
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.n >= 1
+        assert 0 <= r.p50_sec <= r.p95_sec <= r.p99_sec <= 2.0
