@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "sg_latency_quantiles",
     "k5_exp_histogram",
+    "dedup_apply",
 ]
 
 

@@ -431,7 +431,7 @@ def q_near_dup_groups(spark, sf):
     return near_dup_groups(_t(spark, sf, "documents"))
 
 
-SQL_NEAR_DUP_GROUPS = (
+_NEAR_DUP_GROUPS_CTES = (
     "WITH RECURSIVE " + _NGRAM_PAIRS_CTES + """
 , edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -443,10 +443,32 @@ SQL_NEAR_DUP_GROUPS = (
   SELECT doc_id, doc_id FROM verts
   UNION
   SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), groups AS (
+  SELECT v AS doc_id, MIN(r) AS group_rep FROM reach GROUP BY v
+)"""
 )
-SELECT v AS doc_id, MIN(r) AS group_rep FROM reach GROUP BY v
+
+SQL_NEAR_DUP_GROUPS = _NEAR_DUP_GROUPS_CTES + """
+SELECT doc_id, group_rep FROM groups
 """
-)
+
+
+def q_dedup_apply(spark, sf):
+    """End of the near-dup flow: the KEPT corpus — drop non-representative
+    members of every connected component, keep reps + singletons, via one
+    broadcast left-anti join (corpus side never shuffles)."""
+    from .operators.textops import apply_dedup
+
+    return apply_dedup(_t(spark, sf, "documents")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SQL_DEDUP_APPLY = _NEAR_DUP_GROUPS_CTES + """
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+ANTI JOIN (SELECT doc_id FROM groups WHERE doc_id <> group_rep) x USING (doc_id)
+"""
 
 
 def q_dedup_simhash_pairs(spark, sf):
@@ -1890,6 +1912,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_groups": q_near_dup_groups,
+    "dedup_apply": q_dedup_apply,
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "stratified_sample": q_stratified_sample,
@@ -1952,6 +1975,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_groups": SQL_NEAR_DUP_GROUPS,
+    "dedup_apply": SQL_DEDUP_APPLY,
     "repetition_stats": SQL_REPETITION_STATS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

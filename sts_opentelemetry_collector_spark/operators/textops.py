@@ -157,6 +157,20 @@ def near_dup_groups(
     return connected_components(pairs.select("doc_a", "doc_b"), max_iters=max_iters)
 
 
+def apply_dedup(docs: DataFrame, groups: DataFrame | None = None, **kwargs) -> DataFrame:
+    """Materialize the deduplicated corpus: drop every doc whose
+    connected-component representative is a DIFFERENT doc; keep the reps
+    and all singletons (docs in no near-dup pair). The final step of the
+    near-dup flow: pairs -> components (near_dup_groups) -> kept corpus.
+
+    Scale shape: one left-anti join against the drop list. The drop list
+    is near-dup members only — a small fraction of any real corpus — so
+    the join broadcasts and the corpus side never shuffles."""
+    groups = groups if groups is not None else near_dup_groups(docs, **kwargs)
+    drops = groups.where(F.col("doc_id") != F.col("group_rep")).select("doc_id")
+    return docs.join(F.broadcast(drops), on="doc_id", how="left_anti")
+
+
 def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Min-label propagation over an undirected (doc_a, doc_b) pair list:
     (doc_id, group_rep = min doc_id reachable). See near_dup_groups for

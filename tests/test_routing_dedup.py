@@ -305,3 +305,24 @@ def test_kafka_key_attr_override(spark):
     )
     got = {r.external_id: r.kafka_key for r in with_kafka_key(df).collect()}
     assert got == {"e1": "custom", "e2": "e2"}
+
+
+def test_apply_dedup_keeps_reps_and_singletons(spark):
+    """Kept corpus = component reps + docs in no pair; the anti-join is a
+    broadcast (corpus side must not shuffle)."""
+    import pyspark.sql.functions as F
+    from sts_opentelemetry_collector_spark.operators.textops import apply_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd", "en"), (2, "aa bb cc dd", "en"),  # dup pair -> keep 1
+         (3, "zz yy xx ww", "en")],                            # singleton
+        "doc_id long, text string, lang string",
+    )
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, group_rep long"
+    )
+    out = apply_dedup(docs, groups=groups)
+    assert {r.doc_id for r in out.collect()} == {1, 3}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
