@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "sg_latency_quantiles",
     "k5_exp_histogram",
     "dedup_apply",
+    "ann_kmeans_refine",
 ]
 
 

@@ -1678,6 +1678,48 @@ SELECT centroid_id, COUNT(*) AS cluster_size FROM best GROUP BY centroid_id
 """
 
 
+def q_ann_kmeans_refine(spark, sf):
+    """One Lloyd iteration of the IVF build: seed-assign -> per-dim mean
+    recompute (rounded to pin cross-engine double summation) -> re-assign.
+    Cluster sizes of the refined partitioning."""
+    from .operators.similarity import kmeans_refine
+
+    return kmeans_refine(_t(spark, sf, "embeddings"), n_centroids=8)
+
+
+SQL_ANN_KMEANS_REFINE = """
+WITH p AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM p WHERE vec_id < 8
+), s0 AS (
+  SELECT p.vec_id, c0.centroid_id,
+         round(list_dot_product(p.v, c0.cv)
+               / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c0.cv, c0.cv))), 4) AS sim
+  FROM p CROSS JOIN c0
+), a0 AS (
+  SELECT vec_id, centroid_id FROM s0
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1
+), d AS (
+  SELECT a0.centroid_id, generate_subscripts(p.v, 1) - 1 AS dim, unnest(p.v) AS val
+  FROM a0 JOIN p USING (vec_id)
+), m AS (
+  SELECT centroid_id, dim, round(avg(val), 4) AS mval FROM d GROUP BY 1, 2
+), c1 AS (
+  SELECT centroid_id, list(mval ORDER BY dim) AS cv FROM m GROUP BY 1
+), s1 AS (
+  SELECT p.vec_id, c1.centroid_id,
+         round(list_dot_product(p.v, c1.cv)
+               / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c1.cv, c1.cv))), 4) AS sim
+  FROM p CROSS JOIN c1
+), a1 AS (
+  SELECT vec_id, centroid_id FROM s1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1
+)
+SELECT centroid_id, COUNT(*) AS cluster_size FROM a1 GROUP BY centroid_id
+"""
+
+
 def q_embedding_near_dup(spark, sf):
     """Per-label near-dup pair counts. Candidates come from the stacked-band
     LSH generator (label filters post-candidates) — the all-pairs
@@ -1953,6 +1995,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_assign": q_ann_ivf_assign,
+    "ann_kmeans_refine": q_ann_kmeans_refine,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "k5_metrics_dispatch": q_k5_metrics_dispatch,
@@ -2016,6 +2059,7 @@ ORACLES = {
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH,
     "ann_ivf_assign": SQL_ANN_IVF,
+    "ann_kmeans_refine": SQL_ANN_KMEANS_REFINE,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "k5_metrics_dispatch": SQL_K5,

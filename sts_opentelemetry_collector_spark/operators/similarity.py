@@ -123,8 +123,9 @@ def ivf_assign(
     embeddings: DataFrame, n_centroids: int = 8
 ) -> DataFrame:
     """IVF-style partition assignment: each vector joins its nearest
-    centroid (deterministic centroids = the first K stored vectors; a real
-    build would k-means them — the ASSIGNMENT plan is identical).
+    centroid (deterministic centroids = the first K stored vectors;
+    kmeans_refine below runs the real Lloyd build step — the ASSIGNMENT
+    plan is identical either way).
 
     At 100 TB this is the ANN partitioner: vectors land in centroid-keyed
     partitions and queries probe one (or few) partitions. Plan shape:
@@ -170,6 +171,56 @@ def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
         .agg(best.alias("_m"))
         .select("vec_id", F.col("_m.embedding").alias("embedding"),
                 F.col("_m.centroid_id").alias("centroid_id"))
+    )
+
+
+def kmeans_refine(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """One full Lloyd (k-means) iteration entirely in DataFrame ops — the
+    real IVF BUILD step ivf_assign's docstring defers to: seed with the
+    first K vectors, assign (broadcast centroids, per-row argmax cosine),
+    recompute centroids as per-dimension means, re-assign against the
+    refined centroids. Returns (centroid_id, cluster_size) of the refined
+    partitioning.
+
+    Scale shape (10^12 vectors): assignment never shuffles the vectors
+    (K-row broadcast + hash-agg argmax, see ivf_assignments); the mean
+    recompute is a posexplode to (centroid, dim) rows — dim*n rows but
+    partial-aggregated map-side, so the shuffle carries only
+    K*dim*n_partitions partial sums; array re-assembly is one K*dim-row
+    groupBy. Additional Lloyd iterations repeat the same two stages.
+    Means are rounded to 4 decimals BEFORE the re-assign: double summation
+    order differs across engines/partitionings, and the rounding pins the
+    refined centroids so the oracle's dot products are bit-identical."""
+    a0 = ivf_assignments(embeddings, n_centroids)
+    means = (
+        a0.select("centroid_id", F.posexplode(F.col("embedding")).alias("dim", "val"))
+        .groupBy("centroid_id", "dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("mval"))
+    )
+    cents = means.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mval"))),
+            lambda s: s["mval"],
+        ).alias("cv")
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("cv"))
+            / (_norm(F.col("embedding")) * _norm(F.col("cv"))),
+            4,
+        ).alias("sim"),
+    )
+    best = F.max_by(
+        F.col("centroid_id"),
+        F.struct(F.col("sim"), (-F.col("centroid_id")).alias("neg_cid")),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(best.alias("centroid_id"))
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
     )
 
 
