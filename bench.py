@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "k5_exp_histogram",
     "dedup_apply",
     "ann_kmeans_refine",
+    "ann_lsh_topk_multiprobe",
+    "quality_gate",
 ]
 
 

@@ -372,6 +372,44 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) =
 """
 
 
+def q_quality_gate(spark, sf):
+    """Composed webtext filter chain (C4/Gopher-style): ordered rules,
+    first failing rule logged as reject_reason — the filter-audit output
+    of a training-data pipeline. Row-local HOFs; spread() only splits the
+    compacted single-file sample."""
+    from .operators.textops import quality_gate, spread
+
+    return quality_gate(spread(_t(spark, sf, "documents")))
+
+
+SQL_QUALITY_GATE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_max(list_transform(list_distinct(toks),
+                  d -> len(list_filter(toks, t2 -> t2 = d)))) AS top,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS bg,
+         len(list_filter(toks, t2 -> t2 IN ('the','and','of','with','from'))) AS stop
+  FROM t
+), r AS (
+  SELECT doc_id,
+         CASE
+           WHEN n < 16 THEN 'too_short'
+           WHEN round(CAST(top AS DOUBLE) / n, 4) > 0.1 THEN 'repetitive_top_word'
+           WHEN (CASE WHEN len(bg) > 0
+                 THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+                 ELSE 0.0 END) > 0.75 THEN 'repetitive_bigrams'
+           WHEN round(CAST(stop AS DOUBLE) / n, 4) < 0.01 THEN 'low_stopword'
+         END AS reject_reason
+  FROM s
+)
+SELECT doc_id, reject_reason IS NULL AS keep, reject_reason FROM r
+"""
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic stratified sampling: keep a doc iff its md5-derived
     bucket < rate — reproducible across engines/runs/partitionings, zero
@@ -1873,6 +1911,36 @@ ORDER BY cos_sim DESC, b.vec_id LIMIT 10
 """
 
 
+def q_ann_lsh_topk_multiprobe(spark, sf):
+    """Multiprobe ANN: the query's LSH bucket + its n_planes Hamming-1
+    neighbor buckets — the recall knob over the one-bucket probe; scan
+    still touches (n_planes+1)/2^n_planes of the data."""
+    from .operators.similarity import ann_lsh_topk_multiprobe
+
+    return ann_lsh_topk_multiprobe(
+        _t(spark, sf, "embeddings"), query_vec_id=0, k=10
+    )
+
+
+SQL_ANN_LSH_TOPK_MULTIPROBE = f"""
+WITH p AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, CAST({_lsh_bucket_sql()} AS INT) AS bucket FROM p
+), q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+probes AS (
+  SELECT qv, unnest(list_value(qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8))) AS bucket
+  FROM q
+)
+SELECT b.vec_id,
+       round(list_dot_product(b.v, probes.qv)
+             / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(probes.qv, probes.qv))), 4) AS cos_sim
+FROM b JOIN probes ON b.bucket = probes.bucket
+WHERE b.vec_id <> 0
+ORDER BY cos_sim DESC, b.vec_id LIMIT 10
+"""
+
+
 def q_embedding_near_dup_lsh(spark, sf):
     """Embedding near-dup, stacked-band sign-LSH candidate generation (the
     scale path: (band, bucket) equi-joins, no label blocking, no all-pairs;
@@ -1956,6 +2024,7 @@ QUERIES = {
     "dedup_groups": q_near_dup_groups,
     "dedup_apply": q_dedup_apply,
     "repetition_stats": q_repetition_stats,
+    "quality_gate": q_quality_gate,
     "tfidf_top_terms": q_tfidf_top_terms,
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
@@ -1998,6 +2067,7 @@ QUERIES = {
     "ann_kmeans_refine": q_ann_kmeans_refine,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_lsh_topk_multiprobe": q_ann_lsh_topk_multiprobe,
     "k5_metrics_dispatch": q_k5_metrics_dispatch,
     "k5_exp_histogram": q_k5_exp_histogram,
     "embedding_near_dup": q_embedding_near_dup,
@@ -2020,6 +2090,7 @@ ORACLES = {
     "dedup_groups": SQL_NEAR_DUP_GROUPS,
     "dedup_apply": SQL_DEDUP_APPLY,
     "repetition_stats": SQL_REPETITION_STATS,
+    "quality_gate": SQL_QUALITY_GATE,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "decontaminate": SQL_DECONTAMINATE,
@@ -2062,6 +2133,7 @@ ORACLES = {
     "ann_kmeans_refine": SQL_ANN_KMEANS_REFINE,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_lsh_topk_multiprobe": SQL_ANN_LSH_TOPK_MULTIPROBE,
     "k5_metrics_dispatch": SQL_K5,
     "k5_exp_histogram": SQL_K5_EXP_HISTOGRAM,
     "embedding_near_dup": SQL_NEAR_DUP,

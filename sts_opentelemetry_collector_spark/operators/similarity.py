@@ -119,6 +119,48 @@ def ann_lsh_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
+def ann_lsh_topk_multiprobe(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, n_planes: int = 4
+) -> DataFrame:
+    """Multiprobe sign-LSH ANN: probe the query's bucket AND its
+    n_planes Hamming-1 neighbors (flip one sign bit each) — the standard
+    recall knob that trades one extra bucket scan per plane for the
+    near-misses a single-bucket probe drops (vectors near a hyperplane
+    land on either side). At scale: still a broadcast of (n_planes+1)
+    probe rows against the bucket-partitioned table — the scan touches
+    (n_planes+1)/2^n_planes of the data, never all of it."""
+    with_bucket = embeddings.withColumn(
+        "bucket", lsh_bucket_expr(F.col("embedding"), n_planes)
+    )
+    q = with_bucket.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    probes = q.select(
+        "qv",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(n_planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    candidates = with_bucket.join(F.broadcast(probes), on="bucket").where(
+        F.col("vec_id") != query_vec_id
+    )
+    scored = candidates.select(
+        "vec_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("qv"))
+            / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+            4,
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+
+
 def ivf_assign(
     embeddings: DataFrame, n_centroids: int = 8
 ) -> DataFrame:

@@ -526,6 +526,59 @@ def repetition_stats(
     )
 
 
+def quality_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The composed webtext filter chain (C4/Gopher-style): ordered rules,
+    first failure wins as reject_reason — the decision log a training-data
+    pipeline keeps for filter auditing.
+
+      1. too_short            n_tokens < 16
+      2. repetitive_top_word  top-word fraction > 0.1
+      3. repetitive_bigrams   duplicate-bigram fraction > 0.75
+      4. low_stopword         stopword ratio < 0.01 (gibberish heuristic)
+
+    Row-local like its component filters: one when-cascade over HOF stats
+    computed from a once-materialized token array — zero shuffles."""
+    base = docs.select("doc_id", tokens_col(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    uniq = F.array_distinct(toks)
+    top_frac = (
+        F.array_max(
+            F.transform(uniq, lambda d: F.size(F.filter(toks, lambda t: t == d)))
+        ).cast("double")
+        / n
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_bg_frac = F.when(
+        F.size(bigrams) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams),
+    ).otherwise(F.lit(0.0))
+    stop_ratio = (
+        F.size(
+            F.filter(
+                toks,
+                lambda t: (t == "the") | (t == "and") | (t == "of") | (t == "with") | (t == "from"),
+            )
+        ).cast("double")
+        / n
+    )
+    reason = (
+        F.when(n < 16, F.lit("too_short"))
+        .when(F.round(top_frac, 4) > 0.1, F.lit("repetitive_top_word"))
+        .when(F.round(dup_bg_frac, 4) > 0.75, F.lit("repetitive_bigrams"))
+        .when(F.round(stop_ratio, 4) < 0.01, F.lit("low_stopword"))
+    )
+    return base.select(
+        "doc_id", reason.isNull().alias("keep"), reason.alias("reject_reason")
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus TF-IDF: per-doc top-scoring term (the classic keyword /
     topic-signal extraction a training-data pipeline runs for domain
