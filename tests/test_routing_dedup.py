@@ -326,3 +326,38 @@ def test_apply_dedup_keeps_reps_and_singletons(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """The multiprobe candidate set is a strict superset of the one-bucket
+    probe (same query, same planes), so its top-k cosine floor is >= the
+    single-probe floor — the recall knob doing its job."""
+    from sts_opentelemetry_collector_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_lsh_topk_multiprobe,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + d * 7) % 29) - 14.0 for d in range(64)])
+         for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    single = ann_lsh_topk(emb, query_vec_id=0, k=50).collect()
+    multi = ann_lsh_topk_multiprobe(emb, query_vec_id=0, k=50).collect()
+    assert len(multi) >= len(single)
+    if len(multi) == 50 and len(single) == 50:
+        assert multi[-1].cos_sim >= single[-1].cos_sim
+
+
+def test_kmeans_refine_conserves_vectors(spark):
+    """Every vector lands in exactly one refined cluster."""
+    from sts_opentelemetry_collector_spark.operators.similarity import kmeans_refine
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 11 + d * 3) % 17) - 8.0 for d in range(64)])
+         for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    sizes = kmeans_refine(emb, n_centroids=4).collect()
+    assert sum(r.cluster_size for r in sizes) == 120
+    assert all(r.cluster_size > 0 for r in sizes)
