@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "ann_kmeans_refine",
     "ann_lsh_topk_multiprobe",
     "quality_gate",
+    "incremental_dedup",
 ]
 
 

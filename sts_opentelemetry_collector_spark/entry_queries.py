@@ -271,7 +271,7 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 # shared candidate-pair CTE body (also the edge source for the
 # connected-components groups oracle below)
-_NGRAM_PAIRS_CTES = """t AS (
+_NGRAM_SIG_CTES = """t AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(string_split(lower(text),' '))),
                        i -> string_split(lower(text),' ')[i] || ' ' || string_split(lower(text),' ')[i+1])) AS sh
@@ -289,11 +289,10 @@ _NGRAM_PAIRS_CTES = """t AS (
              ELSE substr(md5('r2:'||s), 1 + 8*CAST(2*b.band - 3 AS INT), 8) END))
          AS bucket
   FROM t, (SELECT unnest(range(0, 4)) AS band) b
-), cand AS (
-  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
-  WHERE a.doc_id < b.doc_id
-), pairs AS (
+)"""
+
+# exact-Jaccard verification applied to whatever `cand` CTE precedes it
+_NGRAM_VERIFY_CTE = """pairs AS (
   SELECT da AS doc_a, db AS doc_b,
          round(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
                / len(list_distinct(list_concat(ta.sh, tb.sh))), 4) AS jaccard
@@ -302,8 +301,39 @@ _NGRAM_PAIRS_CTES = """t AS (
               / len(list_distinct(list_concat(ta.sh, tb.sh))), 4) >= 0.5
 )"""
 
+_NGRAM_PAIRS_CTES = _NGRAM_SIG_CTES + """, cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+), """ + _NGRAM_VERIFY_CTE
+
 SQL_NGRAM_JACCARD = (
     "WITH " + _NGRAM_PAIRS_CTES + "\nSELECT doc_a, doc_b, jaccard FROM pairs"
+)
+
+
+def q_incremental_dedup(spark, sf):
+    """Per-ingest-batch dedup: the 'new' batch (doc_id%5=0) deduped
+    against the indexed corpus (the rest) — candidates are (corpus x new)
+    ∪ (new x new), never corpus x corpus; per-ingest cost scales with the
+    batch, not the corpus."""
+    from .operators.textops import incremental_near_dup
+
+    docs = _t(spark, sf, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return incremental_near_dup(new, corpus)
+
+
+SQL_INCREMENTAL_DEDUP = (
+    "WITH " + _NGRAM_SIG_CTES + """, cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE (a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0)
+     OR (a.doc_id % 5 = 0 AND b.doc_id % 5 = 0 AND a.doc_id < b.doc_id)
+), """ + _NGRAM_VERIFY_CTE + """
+SELECT doc_b AS new_doc_id, doc_a AS dup_of, jaccard FROM pairs
+"""
 )
 
 
@@ -2023,6 +2053,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_groups": q_near_dup_groups,
     "dedup_apply": q_dedup_apply,
+    "incremental_dedup": q_incremental_dedup,
     "repetition_stats": q_repetition_stats,
     "quality_gate": q_quality_gate,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -2089,6 +2120,7 @@ ORACLES = {
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_groups": SQL_NEAR_DUP_GROUPS,
     "dedup_apply": SQL_DEDUP_APPLY,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "repetition_stats": SQL_REPETITION_STATS,
     "quality_gate": SQL_QUALITY_GATE,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,

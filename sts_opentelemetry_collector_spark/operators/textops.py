@@ -83,6 +83,23 @@ def ngram_jaccard_pairs(
     J=0.8) — the standard LSH knob, tune (bands, rows) per corpus.
     Jaccard = |A∩B| / |A∪B| via array HOFs on the surviving candidates;
     doc_a < doc_b canonicalizes."""
+    keyed = lsh_band_index(docs, bands=bands, n=n)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    candidates = (
+        a.join(b, on=["band", "bucket"])  # shuffle equi-join, bucket-local
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])  # a pair may share several bands
+    )
+    return _jaccard_on_candidates(candidates, docs, n=n, threshold=threshold)
+
+
+def lsh_band_index(docs: DataFrame, bands: int = 4, n: int = 2) -> DataFrame:
+    """(doc_id, band, bucket) — the corpus MinHash-LSH index. Signatures
+    are row-local, so the index for an ingest batch never touches the
+    rest of the corpus; at 100 TB this frame IS a materialized table
+    bucketed on (band, bucket), appended per batch (see
+    incremental_near_dup)."""
     sigs = minhash_signatures(docs, bands, rows_per_band=2, n=n)
     band_structs = F.array(
         *[
@@ -90,20 +107,22 @@ def ngram_jaccard_pairs(
             for b in range(bands)
         ]
     )
-    keyed = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    return sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    candidates = (
-        a.join(b, on=["band", "bucket"])  # shuffle equi-join, bucket-local
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])  # a pair may share several bands
-        # candidate-volume frame referenced 4x downstream (cand_ids union
-        # sides + the two shingle joins): without persist each reference
-        # re-evaluates the signature+join subtree — measured ~2x the query
-        .persist()
-    )
+
+
+def _jaccard_on_candidates(
+    candidates: DataFrame, docs: DataFrame, n: int, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs: semi-join-prune
+    docs to candidate members, compute raw shingles once per side, filter
+    at the threshold. `docs` must contain every id appearing in
+    `candidates`."""
+    # candidate-volume frame referenced 4x downstream (cand_ids union
+    # sides + the two shingle joins): without persist each reference
+    # re-evaluates the signature+join subtree — measured ~2x the query
+    candidates = candidates.persist()
     # compute shingles ONLY for docs that appear in a candidate pair: the
     # broadcast semi-join prunes rows before the (expensive) shingle
     # projection runs — candidates are a tiny fraction of the corpus
@@ -128,6 +147,49 @@ def ngram_jaccard_pairs(
     jac = F.round(inter.cast("double") / union, 4)
     return paired.select("doc_a", "doc_b", jac.alias("jaccard")).where(
         F.col("jaccard") >= threshold
+    )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    n: int = 2,
+    threshold: float = 0.5,
+    bands: int = 4,
+) -> DataFrame:
+    """Per-ingest-batch dedup against an already-indexed corpus: candidate
+    pairs are (corpus × new) ∪ (new × new) — NEVER corpus × corpus — so
+    each ingest costs O(batch + bucket collisions), not O(corpus). This is
+    the only dedup shape that survives a 10^12-doc corpus with daily
+    ingest: the corpus side of the equi-join reads the STORED band index
+    (lsh_band_index output, appended per batch, bucketed on (band,
+    bucket) so the join is co-located); here it is built in-plan from
+    corpus_docs for oracle-checkability.
+
+    Returns (new_doc_id, dup_of, jaccard): dup_of is a corpus doc or an
+    earlier (lower-id) doc of the same batch. Invariant (pytest-pinned):
+    corpus-only pairs ∪ re-oriented incremental pairs == full-corpus
+    pairs."""
+    new_idx = lsh_band_index(new_docs, bands=bands, n=n).persist()
+    corpus_idx = lsh_band_index(corpus_docs, bands=bands, n=n)
+    nc = (
+        corpus_idx.alias("a")
+        .join(new_idx.alias("b"), on=["band", "bucket"])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    nn = (
+        new_idx.alias("a")
+        .join(new_idx.alias("b"), on=["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    cands = nc.unionByName(nn).dropDuplicates(["doc_a", "doc_b"])
+    docs_all = corpus_docs.select("doc_id", "text").unionByName(
+        new_docs.select("doc_id", "text")
+    )
+    pairs = _jaccard_on_candidates(cands, docs_all, n=n, threshold=threshold)
+    return pairs.select(
+        F.col("doc_b").alias("new_doc_id"), F.col("doc_a").alias("dup_of"), "jaccard"
     )
 
 

@@ -361,3 +361,32 @@ def test_kmeans_refine_conserves_vectors(spark):
     sizes = kmeans_refine(emb, n_centroids=4).collect()
     assert sum(r.cluster_size for r in sizes) == 120
     assert all(r.cluster_size > 0 for r in sizes)
+
+
+def test_incremental_dedup_completeness(spark):
+    """Incremental dedup must be lossless: corpus-only pairs ∪ re-oriented
+    incremental pairs == pairs over the full corpus (same bands/threshold).
+    This is the invariant that lets a 10^12-doc corpus dedup per-ingest
+    without ever re-pairing the corpus against itself."""
+    import pyspark.sql.functions as F
+    from sts_opentelemetry_collector_spark.operators.textops import (
+        incremental_near_dup,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 6} jumps over the lazy dog {i % 4}", "en")
+         for i in range(60)],
+        "doc_id long, text string, lang string",
+    )
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+
+    full = {(r.doc_a, r.doc_b, r.jaccard) for r in ngram_jaccard_pairs(docs).collect()}
+    old = {(r.doc_a, r.doc_b, r.jaccard) for r in ngram_jaccard_pairs(corpus).collect()}
+    inc = {
+        (min(r.new_doc_id, r.dup_of), max(r.new_doc_id, r.dup_of), r.jaccard)
+        for r in incremental_near_dup(new, corpus).collect()
+    }
+    assert old | inc == full
+    assert old & inc == set()  # corpus pairs never recomputed
