@@ -170,8 +170,29 @@ def incremental_near_dup(
     earlier (lower-id) doc of the same batch. Invariant (pytest-pinned):
     corpus-only pairs ∪ re-oriented incremental pairs == full-corpus
     pairs."""
+    return incremental_near_dup_with_index(
+        new_docs,
+        corpus_docs,
+        lsh_band_index(corpus_docs, bands=bands, n=n),
+        n=n,
+        threshold=threshold,
+        bands=bands,
+    )
+
+
+def incremental_near_dup_with_index(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_idx: DataFrame,
+    n: int = 2,
+    threshold: float = 0.5,
+    bands: int = 4,
+) -> DataFrame:
+    """incremental_near_dup against a PREBUILT (stored) corpus band index
+    — the production entry point: corpus_idx is the accumulated
+    lsh_band_index table, corpus_docs the doc store (text needed only for
+    the exact-Jaccard verify of surviving candidates, semi-join-pruned)."""
     new_idx = lsh_band_index(new_docs, bands=bands, n=n).persist()
-    corpus_idx = lsh_band_index(corpus_docs, bands=bands, n=n)
     nc = (
         corpus_idx.alias("a")
         .join(new_idx.alias("b"), on=["band", "bucket"])

@@ -342,3 +342,71 @@ def run_settings_stream(
         "parse_errors": state["bad"],
         "removed_total": state["removed"],
     }
+
+
+DOCS_SCHEMA = "doc_id long, text string, lang string"
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    docs_path: str,
+    out_root: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    bands: int = 4,
+) -> None:
+    """Streaming twin of incremental_near_dup: each micro-batch of
+    arriving docs dedups against the ACCUMULATED corpus band index, then
+    appends its own index rows and text — the always-on ingest-dedup loop
+    of a growing 10^12-doc corpus.
+
+    foreachBatch (not a stream-static join operator) because the static
+    side MUTATES per trigger: the index/doc stores grow with every batch,
+    and the candidate join + the three appends form one unit of work per
+    trigger (an Iceberg transaction in production; parquet-dir appends
+    here). Completeness is order-independent — every cross-batch pair is
+    found exactly once, when its LATER batch arrives — pinned by
+    test_streaming_incremental_dedup_equals_batch.
+
+    Sinks under out_root: near_dup_pairs/ (new_doc_id, dup_of, jaccard),
+    lsh_index/ (doc_id, band, bucket), docs_store/ (doc_id, text).
+    """
+    import os
+
+    from ..operators.textops import (
+        incremental_near_dup_with_index,
+        lsh_band_index,
+    )
+
+    idx_path = os.path.join(out_root, "lsh_index")
+    docs_store = os.path.join(out_root, "docs_store")
+    pairs_path = os.path.join(out_root, "near_dup_pairs")
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("doc_id", "text").persist()
+        if os.path.isdir(idx_path):
+            corpus_idx = spark.read.parquet(idx_path)
+            corpus_docs = spark.read.parquet(docs_store)
+        else:  # first batch: empty corpus, within-batch pairs only
+            corpus_idx = spark.createDataFrame(
+                [], "doc_id long, band int, bucket string"
+            )
+            corpus_docs = spark.createDataFrame([], "doc_id long, text string")
+        pairs = incremental_near_dup_with_index(
+            batch, corpus_docs, corpus_idx, n=n, threshold=threshold, bands=bands
+        )
+        pairs.write.mode("append").parquet(pairs_path)
+        lsh_band_index(batch, bands=bands, n=n).write.mode("append").parquet(idx_path)
+        batch.write.mode("append").parquet(docs_store)
+        batch.unpersist()
+
+    q = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_path)
+        .writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", os.path.join(out_root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -216,3 +216,42 @@ def test_settings_stream_applies_diffs_and_tombstones(spark, tmp_path):
     assert summary2["parse_errors"] == 1
     # tombstones stayed idempotent (version-scoped overwrite): still 4
     assert sinks.read(spark, "tombstones").count() == 4
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
+    """Three doc micro-batches through the accumulating-index streaming
+    dedup find EXACTLY the full-corpus batch pair set (canonicalized),
+    with no pair found twice — per-ingest dedup is lossless and
+    non-redundant regardless of batch order."""
+    import pyspark.sql.functions as F
+    from sts_opentelemetry_collector_spark.operators.textops import (
+        ngram_jaccard_pairs,
+    )
+    from sts_opentelemetry_collector_spark.streaming.jobs import (
+        run_incremental_dedup_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 6} jumps over the lazy dog {i % 4}", "en")
+         for i in range(60)],
+        "doc_id long, text string, lang string",
+    )
+    src = str(tmp_path / "docs_in")
+    for k in range(3):  # one file per append => one micro-batch each
+        docs.where(F.col("doc_id") % 3 == k).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "out")
+    run_incremental_dedup_stream(spark, src, out)
+
+    got = spark.read.parquet(out + "/near_dup_pairs")
+    canon = {
+        (min(r.new_doc_id, r.dup_of), max(r.new_doc_id, r.dup_of), r.jaccard)
+        for r in got.collect()
+    }
+    assert got.count() == len(canon)  # no pair found twice
+    full = {(r.doc_a, r.doc_b, r.jaccard) for r in ngram_jaccard_pairs(docs).collect()}
+    assert canon == full
+    # the accumulated index covers every doc x band
+    assert spark.read.parquet(out + "/lsh_index").count() == 60 * 4
