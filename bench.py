@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk_multiprobe",
     "quality_gate",
     "incremental_dedup",
+    "unigram_logprob",
 ]
 
 

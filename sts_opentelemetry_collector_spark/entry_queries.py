@@ -440,6 +440,31 @@ SELECT doc_id, reject_reason IS NULL AS keep, reject_reason FROM r
 """
 
 
+def q_unigram_logprob(spark, sf):
+    """CCNet-style unigram LM quality score: per-doc mean ln P(token)
+    under the corpus unigram MLE — one explode feeding the freq table
+    (partial-agg groupBy + AQE skew-join) and the per-doc mean."""
+    from .operators.textops import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf, "documents"))
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+), freq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
+), tot AS (SELECT count(*) AS total FROM tok),
+s AS (
+  SELECT doc_id, ln(CAST(cnt AS DOUBLE) / total) AS lp
+  FROM tok JOIN freq USING (token), tot
+)
+SELECT doc_id, round(avg(lp), 4) AS avg_logprob,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM s GROUP BY doc_id
+"""
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic stratified sampling: keep a doc iff its md5-derived
     bucket < rate — reproducible across engines/runs/partitionings, zero
@@ -2056,6 +2081,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "repetition_stats": q_repetition_stats,
     "quality_gate": q_quality_gate,
+    "unigram_logprob": q_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
@@ -2123,6 +2149,7 @@ ORACLES = {
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "repetition_stats": SQL_REPETITION_STATS,
     "quality_gate": SQL_QUALITY_GATE,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "decontaminate": SQL_DECONTAMINATE,

@@ -714,6 +714,34 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style LM quality signal, unigram flavor: per-doc mean token
+    log-probability under the corpus unigram MLE — docs full of rare/
+    gibberish tokens score low, fluent ones high (the KenLM-perplexity
+    bucketing of CCNet, with the corpus itself as the LM).
+
+    Scale shape: ONE explode feeding both the frequency table (token
+    groupBy, map-side partial agg, AQE skew-join for Zipf heads) and the
+    per-doc average (doc groupBy); corpus token total is a 1-row
+    broadcast. Mean rounded to 4 (cross-engine double summation order +
+    ln ULP)."""
+    tok = docs.select("doc_id", F.explode(tokens_col(text_col)).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    scored = (
+        tok.join(freq, on="token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(F.col("cnt").cast("double") / F.col("total")).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
 def hash_mod_expr(key_col: str = "doc_id", mod: int = 100):
     """Engine-portable deterministic pseudo-random bucket in [0, mod):
     first 8 hex chars of md5(key) as an int, mod'ed. md5 is bit-identical
