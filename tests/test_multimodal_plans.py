@@ -219,6 +219,12 @@ def test_repetition_stats_is_scan_local(spark):
     assert rows[0].keep is False and rows[0].top_word_frac == 1.0
     assert rows[1].keep is True and rows[1].dup_word_frac == 0.0
 
+    # the composed filter chain is equally scan-local
+    from sts_opentelemetry_collector_spark.operators.textops import quality_gate
+
+    gplan = quality_gate(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in gplan and "Join" not in gplan
+
 
 def test_tfidf_argmax_is_hash_agg_not_window(spark):
     """The per-doc argmax must be a min_by hash aggregate, not a
