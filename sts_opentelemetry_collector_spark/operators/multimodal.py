@@ -1,17 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Two REAL pure-stdlib decoders run inside the pandas batches — no external
-media libraries needed:
+Three REAL pure-stdlib decoders run inside the pandas batches — no
+external media libraries needed:
 - PNG (image): signature + IHDR parse, IDAT zlib inflate, scanline
   unfilter (filter types 0-4), 8-bit gray/RGB/RGBA -> pixel ndarray.
 - WAV (audio): RIFF/fmt/data chunk walk, PCM 8/16-bit -> sample ndarray.
+- AVI (video): RIFF/hdrl/movi chunk walk, uncompressed 24-bit DIB
+  frames -> frame ndarray. Compressed codecs (H.264 etc.) are ffmpeg
+  territory on a real cluster; `decode_stub` remains only for unknown
+  media types and as the corrupt-payload fallback.
 
-Video decode stays an honest stub (`decode_stub`, clearly marked; swap
-for ffmpeg on a real cluster) — the frame-sampling PLAN (row explosion)
-is real either way. Rows whose payload fails to decode get
-decode_ok=false with deterministic fallback features instead of failing
-the batch, mirroring the parse-failure-counting contract of the main
-pipeline.
+Rows whose payload fails to decode get decode_ok=false with
+deterministic fallback features instead of failing the batch, mirroring
+the parse-failure-counting contract of the main pipeline.
 
 Design for 100 TB of media:
 - media rows are WIDE (MBs each): maxRecordsPerBatch is capped so one
@@ -42,7 +43,7 @@ MEDIA_SCHEMA = (
 
 FEATURE_DIM = 16
 
-_REAL_DECODERS = False  # no ffmpeg in this container (video only)
+_REAL_DECODERS = False  # stub now covers only unknown media types / corrupt fallback
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # 8-bit color types we decode: gray, RGB, RGBA
@@ -185,6 +186,83 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+def decode_avi(payload: bytes) -> np.ndarray:
+    """Pure-stdlib AVI decode (RIFF 'AVI ', uncompressed 24-bit DIB
+    '00db' frames) -> (n_frames, height, width, 3) uint8 RGB array —
+    the same RIFF chunk-walk discipline as the WAV decoder. Compressed
+    codecs are out of scope (ffmpeg territory) and raise ValueError."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    w = h = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal w, h
+        pos = start
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + size)  # skip the list-type fourcc
+            elif cid == b"avih":
+                w = struct.unpack("<I", payload[body + 32 : body + 36])[0]
+                h = struct.unpack("<I", payload[body + 36 : body + 40])[0]
+            elif cid == b"00db":
+                frames.append(payload[body : body + size])
+            pos = body + size + (size & 1)  # RIFF chunks are word-aligned
+
+    walk(12, len(payload))
+    if not w or not h or not frames:
+        raise ValueError("unsupported AVI (no avih header / no DIB frames)")
+    row_bytes = (w * 3 + 3) & ~3  # DIB rows pad to 4 bytes
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, fr in enumerate(frames):
+        if len(fr) != row_bytes * h:
+            raise ValueError("bad DIB frame size")
+        rows = (
+            np.frombuffer(fr, dtype=np.uint8)
+            .reshape(h, row_bytes)[:, : w * 3]
+            .reshape(h, w, 3)
+        )
+        out[i] = rows[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
+    return out
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Minimal uncompressed-DIB AVI writer — synth_media's real video
+    payload source. RIFF('AVI ', LIST hdrl(avih, LIST strl(strh, strf)),
+    LIST movi('00db' per frame))."""
+    n, h, w, _ = frames.shape
+    row_bytes = (w * 3 + 3) & ~3
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = (
+        struct.pack(
+            "<10I", 1_000_000 // fps, row_bytes * h * fps, 0, 0x10, n, 0, 1,
+            row_bytes * h, w, h,
+        )
+        + b"\x00" * 16
+    )
+    strh = b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, row_bytes * h, 0, 0
+    ) + b"\x00" * 8
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_bytes * h, 0, 0, 0, 0)
+    body_frames = []
+    for i in range(n):
+        dib = np.zeros((h, row_bytes), dtype=np.uint8)
+        dib[:, : w * 3] = frames[i, ::-1, :, ::-1].reshape(h, w * 3)
+        body_frames.append(chunk(b"00db", dib.tobytes()))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    riff_body = b"AVI " + hdrl + lst(b"movi", b"".join(body_frames))
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def _hist_features(values: np.ndarray, bins: int, lo: float, hi: float) -> list[float]:
     hist, _ = np.histogram(values, bins=bins, range=(lo, hi))
     total = max(int(hist.sum()), 1)
@@ -220,6 +298,19 @@ def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
     return np.asarray(feats, dtype=np.float32)
 
 
+def video_features(frames: np.ndarray) -> np.ndarray:
+    """Deterministic 16-dim video descriptor: frame count + dims, gray
+    stats over all frames, 9-bin gray histogram."""
+    gray = frames.astype(np.float64).mean(axis=3)
+    feats = [
+        float(frames.shape[0]), float(frames.shape[1]), float(frames.shape[2]),
+        float(gray.mean()), float(gray.std()),
+        float(gray.min()), float(gray.max()),
+        *_hist_features(gray.ravel(), 9, 0.0, 256.0),
+    ]
+    return np.asarray(feats, dtype=np.float32)
+
+
 def decode_stub(payload: bytes, media_type: str) -> np.ndarray:
     """STUB decoder (video + unknown types, and the fallback for corrupt
     payloads): deterministic fake features from the payload bytes.
@@ -245,7 +336,9 @@ def decode_features(payload: bytes, media_type: str) -> tuple[bool, np.ndarray]:
         if media_type == "audio":
             samples, rate = decode_wav(payload)
             return True, audio_features(samples, rate)
-    except (ValueError, zlib.error):
+        if media_type == "video":
+            return True, video_features(decode_avi(payload))
+    except (ValueError, zlib.error, struct.error):
         return False, decode_stub(payload, media_type)
     return True, decode_stub(payload, media_type)
 
@@ -304,9 +397,9 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synth_media(spark, n_rows: int = 200, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table. Image and audio payloads are REAL
-    (valid PNG / PCM16 WAV bytes from the encoders above); video payloads
-    are opaque bytes for the stub path."""
+    """Deterministic fake media table. Image, audio AND video payloads
+    are REAL (valid PNG / PCM16 WAV / uncompressed-DIB AVI bytes from the
+    encoders above)."""
     rng = np.random.default_rng(seed)
     types = ["image", "audio", "video"]
     rows = []
@@ -323,8 +416,9 @@ def synth_media(spark, n_rows: int = 200, seed: int = 42) -> DataFrame:
                 encode_wav(samples, rate=8000), None, None, (n * 1000) // 8000,
             )
         else:
-            payload = bytes(rng.integers(0, 256, size=64 + (i % 128), dtype=np.uint8))
-            width, height, dur = None, None, 3000
+            nf, w, h = 2 + i % 3, 6 + i % 4, 4 + i % 3
+            fr = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+            payload, width, height, dur = encode_avi(fr), w, h, nf * 100
         rows.append((f"https://media.example.org/{mt}/{i}", mt, payload, width,
                      height, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -102,11 +102,11 @@ def test_extract_features_schema_and_values(spark):
     assert again[r.url] == r.features
     # payload projected away: output schema is narrow
     assert "payload" not in feats.columns
-    # image/audio payloads are REAL and decode through the stdlib decoders
+    # image/audio/video payloads are all REAL and decode through the
+    # stdlib decoders
     by_type = {x.url: x for x in rows}
     for x in rows:
-        if x.media_type in ("image", "audio"):
-            assert x.decode_ok, x.url
+        assert x.decode_ok, x.url
     # image features carry the true decoded dimensions (h, w, channels)
     img = [x for x in rows if x.media_type == "image"][0]
     i = int(img.url.rsplit("/", 1)[1])
@@ -115,6 +115,10 @@ def test_extract_features_schema_and_values(spark):
     aud = [x for x in rows if x.media_type == "audio"][0]
     j = int(aud.url.rsplit("/", 1)[1])
     assert aud.features[:3] == [float(64 + j % 64), 1.0, 8000.0]
+    # video features carry the true decoded (n_frames, h, w)
+    vid = [x for x in rows if x.media_type == "video"][0]
+    k = int(vid.url.rsplit("/", 1)[1])
+    assert vid.features[:3] == [float(2 + k % 3), float(4 + k % 3), float(6 + k % 4)]
     assert by_type  # sanity
 
 
@@ -128,11 +132,12 @@ def test_extract_features_corrupt_payload_flagged(spark):
 
 def test_frame_sample_plan(spark):
     media = synth_media(spark, 30)
-    frames = frame_sample_plan(media, every_ms=1000)
-    got = frames.groupBy("url").count().collect()
-    # every video is 3000ms -> 3 frames
-    assert all(r["count"] == 3 for r in got)
-    assert frames.where("frame_ts_ms not in (0, 1000, 2000)").count() == 0
+    frames = frame_sample_plan(media, every_ms=100)
+    got = {r.url: r["count"] for r in frames.groupBy("url").count().collect()}
+    durs = {r.url: r.duration_ms for r in media.where("media_type='video'").collect()}
+    # one sampled frame per 100ms of duration (videos are nf*100 ms)
+    assert got == {u: d // 100 for u, d in durs.items()}
+    assert frames.where("frame_ts_ms % 100 != 0").count() == 0
 
 
 # ---------------------------------------------------------------------------
@@ -280,3 +285,28 @@ def test_whole_stage_codegen_covers_mapping(spark, webtext):
     # whose mapping never references parsed fields: the page-host branch
     # reads only (url, lang) straight from the scan
     assert "ReadSchema: struct<url:string,lang:string>" in plan
+
+
+def test_avi_roundtrip_byte_exact():
+    """encode_avi -> decode_avi is lossless for uncompressed DIB frames
+    (including non-multiple-of-4 row widths that exercise DIB padding)."""
+    import numpy as np
+    from sts_opentelemetry_collector_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+        video_features,
+    )
+
+    rng = np.random.default_rng(3)
+    for shape in ((1, 3, 3, 3), (3, 5, 7, 3), (4, 4, 4, 3)):
+        fr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = decode_avi(encode_avi(fr))
+        assert out.shape == fr.shape and (out == fr).all()
+    f = video_features(decode_avi(encode_avi(rng.integers(0, 256, (2, 4, 6, 3), dtype=np.uint8))))
+    assert list(f[:3]) == [2.0, 4.0, 6.0] and len(f) == 16
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_avi(b"RIFFxxxxWAVE")  # wrong RIFF type
+    with _pytest.raises(ValueError):
+        decode_avi(b"\x00" * 40)
