@@ -379,10 +379,45 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     return pruned.mapInPandas(run, schema=out_schema)
 
 
+def extract_frames(media: DataFrame, every_n: int = 1, batch_hint: int = 64) -> DataFrame:
+    """REAL video frame extraction: decode each AVI payload, keep every
+    every_n-th frame, emit one NARROW row per kept frame with its image
+    feature vector — the frame-sampling stage of a video training-data
+    pipeline (decode wide binary -> project to narrow features before any
+    shuffle). Corrupt/non-AVI payloads yield zero rows (the pairing
+    frame_sample_plan row-explosion covers the planned-count contract)."""
+    out_schema = "url string, frame_idx int, features array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, idxs, feats = [], [], []
+            for u, p in zip(pdf["url"], pdf["payload"]):
+                try:
+                    frames = decode_avi(p if isinstance(p, bytes) else bytes(p))
+                except (ValueError, struct.error):
+                    continue
+                for i in range(0, frames.shape[0], every_n):
+                    urls.append(u)
+                    idxs.append(i)
+                    feats.append(image_features(frames[i]).tolist())
+            # explicit dtypes: an empty partition's default float64 columns
+            # fail Arrow's list<float> conversion
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype=object),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "features": pd.Series(feats, dtype=object),
+                }
+            )
+
+    pruned = media.where(F.col("media_type") == "video").select("url", "payload")
+    return pruned.mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: one output row per sampled timestamp
-    (explode of a sequence — pure JVM); actual frame decode is the stub.
-    Shows the row-explosion shape a real sampler would produce."""
+    (explode of a sequence — pure JVM, no payload touched); the decode
+    half is extract_frames above. Shows the row-explosion shape."""
     n_frames = (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int")
     return (
         media.where(F.col("media_type") == "video")

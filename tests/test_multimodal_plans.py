@@ -310,3 +310,34 @@ def test_avi_roundtrip_byte_exact():
         decode_avi(b"RIFFxxxxWAVE")  # wrong RIFF type
     with _pytest.raises(ValueError):
         decode_avi(b"\x00" * 40)
+
+
+def test_extract_frames_real_decode(spark):
+    """extract_frames decodes real AVI payloads: one row per kept frame,
+    features == image_features of the decoded frame; non-video rows and
+    corrupt payloads contribute nothing."""
+    import numpy as np
+    from sts_opentelemetry_collector_spark.operators.multimodal import (
+        decode_avi,
+        extract_frames,
+        image_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30)
+    out = extract_frames(media).collect()
+    vids = media.where("media_type='video'").collect()
+    assert len(out) == sum(v.duration_ms // 100 for v in vids)  # nf frames each
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r.url, []).append(r)
+    v0 = vids[0]
+    frames = decode_avi(bytes(v0.payload))
+    got = sorted(by_url[v0.url], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in got] == list(range(frames.shape[0]))
+    assert np.allclose(got[1].features, image_features(frames[1]), atol=1e-6)
+
+    corrupt = spark.createDataFrame(
+        [("u", "video", b"junk")], "url string, media_type string, payload binary"
+    )
+    assert extract_frames(corrupt).count() == 0
