@@ -2063,7 +2063,29 @@ FROM cand WHERE label_a = label_b GROUP BY 1
 # ---------------------------------------------------------------------------
 # catalog
 
+# Dict ORDER is meaningful: the correctness driver checks the first 50
+# entries. Queries added or rewritten most recently sit at the FRONT so
+# every not-yet-driver-verified (or just-changed) query lands inside the
+# check window; long-stable queries (driver-green since r2/r3, unchanged
+# since) rotate to the tail.
 QUERIES = {
+    # --- r3 additions / r4 rewrites: never (or not recently) driver-checked
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "token_counts": q_token_counts,
+    "fingerprints": q_fingerprints,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_ivf_assign": q_ann_ivf_assign,
+    "ann_kmeans_refine": q_ann_kmeans_refine,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_lsh_topk_multiprobe": q_ann_lsh_topk_multiprobe,
+    "k5_metrics_dispatch": q_k5_metrics_dispatch,
+    "k5_exp_histogram": q_k5_exp_histogram,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    # --- queries whose operators changed in r4 (re-verify) + stable core
     "p2_condition_filter": q_p2_condition_filter,
     "p3_expression_transform": q_p3_expression_transform,
     "p7_component_projection": q_p7_component_projection,
@@ -2099,6 +2121,8 @@ QUERIES = {
     "r1_shard_routing": q_r1_shard_routing,
     "r3_fanout_counts": q_r3_fanout_counts,
     "s3_cdc_diff": q_s3_cdc_diff,
+    # --- tail (out of the 50-entry driver window): driver-green at r3,
+    # unchanged since; still verified every round by tests/test_oracle.py
     "p16_auth_quarantine": q_p16_auth_quarantine,
     "a6_envelope_split": q_a6_envelope_split,
     "w2_sessionize": q_w2_sessionize,
@@ -2114,21 +2138,6 @@ QUERIES = {
     "k3_traces_sink": q_k3_traces_sink,
     "p14_ottl_transform": q_p14_ottl_transform,
     "r4_topic_override": q_r4_topic_override,
-    "lang_id": q_lang_id,
-    "quality_scores": q_quality_scores,
-    "token_counts": q_token_counts,
-    "fingerprints": q_fingerprints,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_lsh_buckets": q_ann_lsh_buckets,
-    "ann_ivf_assign": q_ann_ivf_assign,
-    "ann_kmeans_refine": q_ann_kmeans_refine,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_lsh_topk_multiprobe": q_ann_lsh_topk_multiprobe,
-    "k5_metrics_dispatch": q_k5_metrics_dispatch,
-    "k5_exp_histogram": q_k5_exp_histogram,
-    "embedding_near_dup": q_embedding_near_dup,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
 }
 
 ORACLES = {
