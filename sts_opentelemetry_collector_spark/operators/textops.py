@@ -113,16 +113,28 @@ def lsh_band_index(docs: DataFrame, bands: int = 4, n: int = 2) -> DataFrame:
 
 
 def _jaccard_on_candidates(
-    candidates: DataFrame, docs: DataFrame, n: int, threshold: float
+    candidates: DataFrame,
+    docs: DataFrame,
+    n: int,
+    threshold: float,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of LSH candidate pairs: semi-join-prune
     docs to candidate members, compute raw shingles once per side, filter
     at the threshold. `docs` must contain every id appearing in
-    `candidates`."""
+    `candidates`.
+
+    cache_registry: callers that run this repeatedly in one session (the
+    incremental-dedup stream, one call per micro-batch) pass a list; every
+    frame persisted here is appended so the caller can unpersist after its
+    consuming action — otherwise an always-on stream accumulates cached
+    frames until LRU eviction (executor storage pressure)."""
     # candidate-volume frame referenced 4x downstream (cand_ids union
     # sides + the two shingle joins): without persist each reference
     # re-evaluates the signature+join subtree — measured ~2x the query
     candidates = candidates.persist()
+    if cache_registry is not None:
+        cache_registry.append(candidates)
     # compute shingles ONLY for docs that appear in a candidate pair: the
     # broadcast semi-join prunes rows before the (expensive) shingle
     # projection runs — candidates are a tiny fraction of the corpus
@@ -138,6 +150,8 @@ def _jaccard_on_candidates(
         .select(F.col("doc_id"), shingles_col(n=n).alias("sh"))
         .persist()  # referenced twice (sh_a / sh_b joins)
     )
+    if cache_registry is not None:
+        cache_registry.append(t)
     paired = (
         candidates.join(t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), on="doc_a")
         .join(t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), on="doc_b")
@@ -187,12 +201,18 @@ def incremental_near_dup_with_index(
     n: int = 2,
     threshold: float = 0.5,
     bands: int = 4,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """incremental_near_dup against a PREBUILT (stored) corpus band index
     — the production entry point: corpus_idx is the accumulated
     lsh_band_index table, corpus_docs the doc store (text needed only for
-    the exact-Jaccard verify of surviving candidates, semi-join-pruned)."""
+    the exact-Jaccard verify of surviving candidates, semi-join-pruned).
+    cache_registry: see _jaccard_on_candidates — pass a list from
+    repeated-call contexts (the dedup stream) and unpersist its entries
+    after consuming the result."""
     new_idx = lsh_band_index(new_docs, bands=bands, n=n).persist()
+    if cache_registry is not None:
+        cache_registry.append(new_idx)
     nc = (
         corpus_idx.alias("a")
         .join(new_idx.alias("b"), on=["band", "bucket"])
@@ -208,7 +228,9 @@ def incremental_near_dup_with_index(
     docs_all = corpus_docs.select("doc_id", "text").unionByName(
         new_docs.select("doc_id", "text")
     )
-    pairs = _jaccard_on_candidates(cands, docs_all, n=n, threshold=threshold)
+    pairs = _jaccard_on_candidates(
+        cands, docs_all, n=n, threshold=threshold, cache_registry=cache_registry
+    )
     return pairs.select(
         F.col("doc_b").alias("new_doc_id"), F.col("doc_a").alias("dup_of"), "jaccard"
     )
@@ -246,18 +268,41 @@ def apply_dedup(docs: DataFrame, groups: DataFrame | None = None, **kwargs) -> D
     and all singletons (docs in no near-dup pair). The final step of the
     near-dup flow: pairs -> components (near_dup_groups) -> kept corpus.
 
-    Scale shape: one left-anti join against the drop list. The drop list
-    is near-dup members only — a small fraction of any real corpus — so
-    the join broadcasts and the corpus side never shuffles."""
+    Scale shape: one left-anti equi-join on doc_id against the drop list.
+    NO broadcast hint: on a templated/boilerplate-heavy corpus the drop
+    list can be a large fraction of the input (a 100 TB corpus at 30%
+    dup rate has a ~30 TB drop side), so forcing a broadcast would OOM
+    the driver. Left as a plain equi-join, AQE's size-gated planning
+    broadcasts it automatically when (and only when) the built side is
+    under spark.sql.autoBroadcastJoinThreshold at runtime; otherwise a
+    shuffled hash join on uniformly-hashed doc_id (no skew)."""
     groups = groups if groups is not None else near_dup_groups(docs, **kwargs)
     drops = groups.where(F.col("doc_id") != F.col("group_rep")).select("doc_id")
-    return docs.join(F.broadcast(drops), on="doc_id", how="left_anti")
+    return docs.join(drops, on="doc_id", how="left_anti")
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
-    """Min-label propagation over an undirected (doc_a, doc_b) pair list:
-    (doc_id, group_rep = min doc_id reachable). See near_dup_groups for
-    the scale discussion (large-star/small-star at 100 TB)."""
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20, algorithm: str = "propagation"
+) -> DataFrame:
+    """Connected components over an undirected (doc_a, doc_b) pair list:
+    (doc_id, group_rep = min doc_id reachable), every paired vertex
+    emitted (reps map to themselves; singletons never appear in `pairs`).
+
+    algorithm="propagation": iterative min-label propagation — one
+    edge⋈label shuffle per round, converges in O(component diameter)
+    rounds. Right for near-dup graphs (near-cliques, diameter 2-4).
+
+    algorithm="star": the two-phase large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SOCC'14) — the same join+min primitive but provably O(log² n) rounds
+    on ANY graph shape, the 100 TB-safe choice when component diameters
+    are unbounded (e.g. chained boilerplate). Equality with propagation
+    is pytest-pinned, including a long-path graph where propagation's
+    round count is O(n).
+
+    Both raise RuntimeError if max_iters rounds pass without a fixpoint —
+    a silently-partial labeling would emit wrong group_rep values
+    downstream (ADVICE r3)."""
     # symmetrize via ONE explode, not a union of two selects: a union has
     # two subtrees each re-evaluating the (expensive) upstream pair
     # generator before the persist below can serve either
@@ -269,13 +314,27 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             )
         ).alias("e")
     ).select("e.doc_a", "e.doc_b")
+    if algorithm == "star":
+        return _cc_two_phase_star(edges, max_iters=max_iters)
+    if algorithm != "propagation":
+        raise ValueError("algorithm in ('propagation', 'star')")
     edges = edges.persist()
+    # localCheckpoint INSIDE iterative loops, not persist: each round's
+    # plan references the previous round's twice (labels ⋈ neigh_min),
+    # so without lineage truncation the logical tree DOUBLES per round
+    # and Catalyst analysis time grows exponentially (measured: round 3
+    # of the star loop took >140 s on 150 edges before this). persist()
+    # caches data but Catalyst still re-analyzes the full nested plan;
+    # localCheckpoint replaces it with a constant-depth RDD-scan leaf.
+    # On a real cluster swap for reliable checkpoint() (an executor loss
+    # would otherwise kill the lineage-less job).
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         neigh_min = (
             edges.join(
@@ -296,15 +355,102 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 ),
                 (F.col("nmin") < F.col("label")).alias("_chg"),
             )
-        ).persist()
+        ).localCheckpoint()
         changed = updated.where(F.col("_chg")).limit(1).count()
-        old = labels
         labels = updated.drop("_chg")
-        old.unpersist()
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(propagation) did not converge in {max_iters} "
+            "rounds (component diameter exceeds max_iters) — partial labels "
+            "would be WRONG; raise max_iters or use algorithm='star'"
+        )
     return labels.select("doc_id", F.col("label").alias("group_rep"))
+
+
+def _cc_two_phase_star(edges_sym: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al. SOCC'14 Alg. 2)
+    over a SYMMETRIC edge list. Each round:
+
+      large-star: per node u with m = min(N(u) ∪ {u}), connect every
+                  strictly-larger neighbor to m   — emit (v, m) for v > u
+      small-star: orient edges large→small (u > v), per node u with
+                  m = min(N(u) ∪ {u}), connect u and its smaller
+                  neighbors to m                  — emit (v, m) ∪ (u, m)
+
+    Both phases are one groupBy(node) min + one re-join per phase —
+    identical shuffle primitive to propagation, but the edge list
+    contracts doubly-logarithmically: O(log² n) rounds on any graph
+    (a path graph converges in ~log n rounds vs n for propagation).
+    Fixpoint when the small-star output equals the previous round's
+    (set equality via exceptAll on canonicalized edges). At the
+    fixpoint every non-root points directly at its component min.
+
+    Lineage is truncated per round with localCheckpoint — see the
+    propagation loop for why persist alone blows up analysis time."""
+    cur = (
+        edges_sym.where(F.col("doc_a") != F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iters):
+        # large-star over the symmetric closure of cur
+        sym = cur.select("doc_a", "doc_b").unionByName(
+            cur.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ).dropDuplicates(["doc_a", "doc_b"])
+        mins = sym.groupBy("doc_a").agg(
+            F.least(F.min("doc_b"), F.first("doc_a")).alias("m")
+        )
+        large = (
+            sym.where(F.col("doc_b") > F.col("doc_a"))
+            .join(mins, on="doc_a")
+            .select(F.col("doc_b").alias("doc_a"), F.col("m").alias("doc_b"))
+            .where(F.col("doc_a") != F.col("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        # small-star on large→small orientation
+        oriented = large.select(
+            F.greatest("doc_a", "doc_b").alias("doc_a"),
+            F.least("doc_a", "doc_b").alias("doc_b"),
+        ).dropDuplicates(["doc_a", "doc_b"])
+        smins = oriented.groupBy("doc_a").agg(F.min("doc_b").alias("m"))
+        small = (
+            oriented.join(smins, on="doc_a")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("doc_b").alias("doc_a"), F.col("m").alias("doc_b")),
+                        F.struct(F.col("doc_a").alias("doc_a"), F.col("m").alias("doc_b")),
+                    )
+                ).alias("e")
+            )
+            .select("e.doc_a", "e.doc_b")
+            .where(F.col("doc_a") != F.col("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+            .localCheckpoint()
+        )
+        changed = (
+            small.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(small).limit(1).count()
+        )
+        cur = small
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iters} rounds "
+            "— raise max_iters (O(log² n) rounds suffice for any graph)"
+        )
+    # fixpoint edges are (non-root -> root); roots self-map
+    labels = cur.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("group_rep")).unionByName(
+        cur.select(F.col("doc_b").alias("doc_id"), F.col("doc_b").alias("group_rep"))
+    ).groupBy("doc_id").agg(F.min("group_rep").alias("group_rep"))
+    return labels
 
 
 def spread(docs: DataFrame) -> DataFrame:
@@ -553,6 +699,36 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
+def top_token_count(toks):
+    """Max occurrence count of any single token — single-pass: sort the
+    array (O(n log n) row-local), then one fold tracking the longest
+    equal-run. Replaces the naive O(u·n) per-distinct-token filter fold
+    (u = distinct tokens), which degenerates on high-diversity long docs
+    (u ≈ n → O(n²) per row). Equality with the naive fold is
+    property-pinned (tests/test_textops.py)."""
+    srt = F.array_sort(toks)
+    zero = F.lit(0).cast("long")
+    fold = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            zero.alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(t.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    # empty token array -> NULL (array_max semantics of the naive fold)
+    return F.when(F.size(toks) > 0, fold)
+
+
 def repetition_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -566,9 +742,8 @@ def repetition_stats(
 
     Scale shape: every stat is row-local (HOFs over the token array inside
     whole-stage codegen) — zero shuffles, scan-bound at any corpus size.
-    The top-word count is an O(u·n) per-row fold (u = distinct tokens);
-    natural-language vocabularies keep u small relative to n, and the work
-    never leaves the row."""
+    The top-word count is a single sort+run-length fold per row
+    (top_token_count), O(n log n) regardless of vocabulary diversity."""
     # materialize the token array ONCE: interpreted HOFs have no CSE, so
     # a `tokens_col()` expression referenced inside the per-distinct-token
     # count lambda would re-split the text u times per row (the same
@@ -577,9 +752,7 @@ def repetition_stats(
     toks = F.col("_toks")
     n = F.size(toks)
     uniq = F.array_distinct(toks)
-    top = F.array_max(
-        F.transform(uniq, lambda d: F.size(F.filter(toks, lambda t: t == d)))
-    )
+    top = top_token_count(toks)
     bigrams = F.when(
         n >= 2,
         F.transform(
@@ -624,13 +797,7 @@ def quality_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
     base = docs.select("doc_id", tokens_col(text_col).alias("_toks"))
     toks = F.col("_toks")
     n = F.size(toks)
-    uniq = F.array_distinct(toks)
-    top_frac = (
-        F.array_max(
-            F.transform(uniq, lambda d: F.size(F.filter(toks, lambda t: t == d)))
-        ).cast("double")
-        / n
-    )
+    top_frac = top_token_count(toks).cast("double") / n
     bigrams = F.when(
         n >= 2,
         F.transform(

@@ -383,7 +383,11 @@ def run_incremental_dedup_stream(
     pairs_path = os.path.join(out_root, "near_dup_pairs")
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        # every frame persisted for this batch lands in `caches` and is
+        # released after the three writes — an always-on stream must not
+        # accumulate cached frames across triggers (ADVICE r3)
         batch = batch_df.select("doc_id", "text").persist()
+        caches = [batch]
         if os.path.isdir(idx_path):
             corpus_idx = spark.read.parquet(idx_path)
             corpus_docs = spark.read.parquet(docs_store)
@@ -393,12 +397,14 @@ def run_incremental_dedup_stream(
             )
             corpus_docs = spark.createDataFrame([], "doc_id long, text string")
         pairs = incremental_near_dup_with_index(
-            batch, corpus_docs, corpus_idx, n=n, threshold=threshold, bands=bands
+            batch, corpus_docs, corpus_idx, n=n, threshold=threshold, bands=bands,
+            cache_registry=caches,
         )
         pairs.write.mode("append").parquet(pairs_path)
         lsh_band_index(batch, bands=bands, n=n).write.mode("append").parquet(idx_path)
         batch.write.mode("append").parquet(docs_store)
-        batch.unpersist()
+        for c in caches:
+            c.unpersist()
 
     q = (
         spark.readStream.schema(DOCS_SCHEMA)
