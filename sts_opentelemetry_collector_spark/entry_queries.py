@@ -762,31 +762,34 @@ FROM events GROUP BY 1, 2
 
 
 def q_k5_exp_histogram(spark, sf):
-    """A3b/K5: scale-0 exponential histogram per event_type over integer
-    latency ms, in the reference's ClickHouse exp-histogram row shape
-    (exponential_histogram_metrics.go:36-41). Dense bucket-counts array
+    """A3b/K5: scale-0 exponential histogram per event_type over a SIGNED
+    integer latency-delta (floor(value*10) % 2000 - 50 — negatives and
+    zeros present by construction), in the reference's full ClickHouse
+    exp-histogram row shape incl. negative buckets
+    (exponential_histogram_metrics.go:34-41). Dense bucket-counts arrays
     compared via md5 digest (engine array stringification differs)."""
     from .operators.aggregate import exp_histogram
 
     e = _t(spark, sf, "events")
     m = e.select(
         "event_type",
-        (F.floor(F.col("value") * 10).cast("long") % 2000).alias("lat_ms"),
+        (F.floor(F.col("value") * 10).cast("long") % 2000 - 50).alias("lat_ms"),
     )
     h = exp_histogram(m, ["event_type"], "lat_ms")
+
+    def digest(col):
+        return F.md5(
+            F.array_join(F.transform(F.col(col), lambda x: x.cast("string")), ",")
+        )
+
     return h.select(
         "event_type",
         "scale",
         "zero_count",
         "positive_offset",
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.col("positive_bucket_counts"), lambda x: x.cast("string")
-                ),
-                ",",
-            )
-        ).alias("bucket_counts_digest"),
+        digest("positive_bucket_counts").alias("pos_counts_digest"),
+        "negative_offset",
+        digest("negative_bucket_counts").alias("neg_counts_digest"),
         "count",
         "sum",
     )
@@ -794,26 +797,36 @@ def q_k5_exp_histogram(spark, sf):
 
 SQL_K5_EXP_HISTOGRAM = """
 WITH m AS (
-  SELECT event_type, CAST(floor(value*10) AS BIGINT) % 2000 AS x FROM events
+  SELECT event_type, CAST(floor(value*10) AS BIGINT) % 2000 - 50 AS x FROM events
 ), b AS (
   SELECT event_type, x,
-         CASE WHEN x > 0 THEN CAST(length(bin(x)) - 1 AS INT) END AS idx
+         CASE WHEN x <> 0 THEN CAST(length(bin(abs(x))) - 1 AS INT) END AS idx,
+         CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END AS sgn
   FROM m
 ), g AS (
   SELECT event_type,
-         list(idx) FILTER (WHERE idx IS NOT NULL) AS idxs,
+         list(idx) FILTER (WHERE sgn = 1) AS pidxs,
+         list(idx) FILTER (WHERE sgn = -1) AS nidxs,
          COUNT(*) AS count,
          CAST(SUM(x) AS BIGINT) AS sum,
          CAST(COALESCE(COUNT(*) FILTER (WHERE x = 0), 0) AS BIGINT) AS zero_count,
-         MIN(idx) AS off, MAX(idx) AS mx
+         MIN(idx) FILTER (WHERE sgn = 1) AS poff,
+         MAX(idx) FILTER (WHERE sgn = 1) AS pmx,
+         MIN(idx) FILTER (WHERE sgn = -1) AS noff,
+         MAX(idx) FILTER (WHERE sgn = -1) AS nmx
   FROM b GROUP BY 1
 )
 SELECT event_type, 0 AS scale, zero_count,
-       COALESCE(off, 0) AS positive_offset,
-       md5(array_to_string(
-         list_transform(range(CAST(off AS BIGINT), CAST(mx AS BIGINT) + 1),
-                        i -> CAST(len(list_filter(idxs, v -> v = i)) AS VARCHAR)),
-         ',')) AS bucket_counts_digest,
+       COALESCE(poff, 0) AS positive_offset,
+       md5(CASE WHEN poff IS NULL THEN '' ELSE array_to_string(
+         list_transform(range(CAST(poff AS BIGINT), CAST(pmx AS BIGINT) + 1),
+                        i -> CAST(len(list_filter(pidxs, v -> v = i)) AS VARCHAR)),
+         ',') END) AS pos_counts_digest,
+       COALESCE(noff, 0) AS negative_offset,
+       md5(CASE WHEN noff IS NULL THEN '' ELSE array_to_string(
+         list_transform(range(CAST(noff AS BIGINT), CAST(nmx AS BIGINT) + 1),
+                        i -> CAST(len(list_filter(nidxs, v -> v = i)) AS VARCHAR)),
+         ',') END) AS neg_counts_digest,
        count, sum
 FROM g
 """

@@ -80,59 +80,112 @@ def latency_histogram(
 
 
 def exp_histogram(
-    df: DataFrame, dims: list[str], value_col: str
+    df: DataFrame, dims: list[str], value_col: str, scale: int = 0
 ) -> DataFrame:
-    """A3b: scale-0 (base-2) exponential histogram over a non-negative
-    INTEGER measure (latency ms, byte sizes — the usual telemetry units),
-    in the reference's ClickHouse exp-histogram row shape: Scale,
-    ZeroCount, PositiveOffset, dense PositiveBucketCounts
-    (clickhousestsexporter/internal/exponential_histogram_metrics.go:36-41,
-    :148-153 — the reference stores OTLP exp-histogram datapoints; this
-    operator AGGREGATES raw measures into that shape).
+    """A3b: base-2 exponential histogram over an INTEGER measure (latency
+    ms, byte/size deltas), in the reference's FULL ClickHouse
+    exp-histogram row shape: Scale, ZeroCount, PositiveOffset, dense
+    PositiveBucketCounts, NegativeOffset, dense NegativeBucketCounts
+    (exporter/clickhousestsexporter/internal/
+    exponential_histogram_metrics.go:34-41 — the reference stores OTLP
+    exp-histogram datapoints; this operator AGGREGATES raw measures into
+    that shape).
 
-    Bucket index for x>0 is floor(log2(x)) = bit_length(x)-1, computed as
-    length(conv(x, 10, 2)) - 1 — pure integer/string ops, bit-identical
-    across engines (a float log2 would risk ULP flips at powers of two).
-    Buckets are [2^k, 2^(k+1)); OTel's lower-exclusive convention differs
-    only at exact powers of two (documented deviation). Negative measures
-    are out of scope (telemetry magnitudes); zeros land in ZeroCount.
+    Semantics (ADVICE r3 alignment):
+    - zero_count counts EXACTLY x == 0 rows.
+    - x < 0 rows bucket by |x| into the negative side (mirroring OTel's
+      negative buckets), never silently into zero_count.
+    - NULL measures are rejected up front (filtered, like an absent OTLP
+      datapoint value); count == zero_count + Σpos + Σneg always holds.
+    - sum is the signed sum over all non-null measures.
 
-    Plan: same two-phase shape as latency_histogram — one groupBy on
-    (dims, idx) with map-side combine, then one groupBy dims assembling
-    the dense array JVM-side. Two shuffles total, no UDFs."""
+    Bucket index for |x|>0 at scale s is floor(log2(|x|) · 2^s), computed
+    WITHOUT float logs (ULP flips at powers of two would diverge engines):
+      s == 0 : bit_length(|x|)-1           via length(conv(x,10,2))-1
+      s  < 0 : shiftright(bit_length-1, -s)   (floor division — exact,
+               floor(floor(y)/2^k) == floor(y/2^k) for integer 2^k)
+      s == 1 : 2·m + [ |x|² ≥ 2^(2m+1) ], m = bit_length-1; the square is
+               exact in DECIMAL(38,0) for ANY long (max ≈ 8.5e37 < 1e38)
+               and 2^(2m+1) ≤ 2^125 is a power of two, exactly
+               representable in a double before the decimal cast.
+    Scales > 1 need |x|^(2^s) comparisons that overflow 128-bit for
+    general longs — rejected with a ValueError (OTel collectors downscale
+    to fit; telemetry integer measures rarely justify s > 1 resolution).
+    Buckets are [2^(k/2^s), 2^((k+1)/2^s)); OTel's lower-exclusive
+    convention differs only at exact boundaries (documented deviation).
+
+    Plan: one groupBy on (dims, sign, idx) with map-side combine, then
+    one groupBy dims assembling both dense arrays JVM-side. Two shuffles
+    total, no UDFs."""
     x = F.col(value_col).cast("long")
-    idx = F.when(
-        x > 0, (F.length(F.conv(x.cast("string"), 10, 2)) - 1).cast("int")
+    ax = F.abs(x)
+    m = (F.length(F.conv(ax.cast("string"), 10, 2)) - 1).cast("int")
+    if scale == 0:
+        idx = m
+    elif scale < 0:
+        idx = F.shiftright(m, -scale)
+    elif scale == 1:
+        xd = ax.cast("decimal(38,0)")
+        thr = F.pow(F.lit(2.0), (m * 2 + 1).cast("double")).cast("decimal(38,0)")
+        idx = (m * 2 + F.when((xd * xd) >= thr, 1).otherwise(0)).cast("int")
+    else:
+        raise ValueError(
+            "scale > 1 not supported exactly for 64-bit measures; "
+            "downscale (OTel collectors do) or pre-scale the measure"
+        )
+    sgn = F.when(x > 0, 1).when(x < 0, -1).otherwise(0)
+    per_bucket = (
+        df.where(x.isNotNull())
+        .select(
+            *dims,
+            x.alias("_x"),
+            sgn.alias("_sgn"),
+            F.when(x != 0, idx).alias("_idx"),
+        )
+        .groupBy(*dims, "_sgn", "_idx")
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.sum("_x").alias("_sum"))
     )
-    per_bucket = df.select(*dims, x.alias("_x"), idx.alias("_idx")).groupBy(
-        *dims, "_idx"
-    ).agg(F.count(F.lit(1)).alias("_cnt"), F.sum("_x").alias("_sum"))
+
+    def side(s: int, prefix: str):
+        this = F.col("_sgn") == s
+        return [
+            F.min(F.when(this, F.col("_idx"))).alias(f"_{prefix}off"),
+            F.max(F.when(this, F.col("_idx"))).alias(f"_{prefix}mx"),
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(this, F.struct(F.col("_idx"), F.col("_cnt")))
+                )
+            ).alias(f"_{prefix}m"),
+        ]
+
     assembled = per_bucket.groupBy(*dims).agg(
         F.sum("_cnt").alias("count"),
         F.sum("_sum").alias("sum"),
         F.coalesce(
-            F.sum(F.when(F.col("_idx").isNull(), F.col("_cnt"))), F.lit(0)
+            F.sum(F.when(F.col("_sgn") == 0, F.col("_cnt"))), F.lit(0)
         ).alias("zero_count"),
-        F.min("_idx").alias("_off"),
-        F.max("_idx").alias("_mx"),
-        F.map_from_entries(
-            F.collect_list(
-                F.when(
-                    F.col("_idx").isNotNull(), F.struct(F.col("_idx"), F.col("_cnt"))
-                )
-            )
-        ).alias("_m"),
+        *side(1, "p"),
+        *side(-1, "n"),
     )
-    dense = F.transform(
-        F.sequence(F.col("_off"), F.col("_mx")),
-        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("long")),
-    )
+
+    def dense(prefix: str):
+        off, mx, mp = (F.col(f"_{prefix}{s}") for s in ("off", "mx", "m"))
+        arr = F.transform(
+            F.sequence(off, mx),
+            lambda i: F.coalesce(F.element_at(mp, i), F.lit(0).cast("long")),
+        )
+        return F.when(off.isNotNull(), arr).otherwise(
+            F.array().cast("array<long>")
+        )
+
     return assembled.select(
         *dims,
-        F.lit(0).alias("scale"),
+        F.lit(scale).alias("scale"),
         "zero_count",
-        F.coalesce(F.col("_off"), F.lit(0)).alias("positive_offset"),
-        dense.alias("positive_bucket_counts"),
+        F.coalesce(F.col("_poff"), F.lit(0)).alias("positive_offset"),
+        dense("p").alias("positive_bucket_counts"),
+        F.coalesce(F.col("_noff"), F.lit(0)).alias("negative_offset"),
+        dense("n").alias("negative_bucket_counts"),
         "count",
         "sum",
     )

@@ -342,7 +342,10 @@ def compile_component_mapping(
 ) -> tuple[DataFrame | None, DataFrame | None, str | None]:
     """Compile one component mapping.
 
-    Returns (components, record_errors, mapping_error).
+    Returns (components, record_errors, mapping_error, flagged):
+    `flagged` is the pre-split projection with a `_required_ok` column so
+    callers can observe() error counts on the same job as the element
+    write (None for delete-action or plan-time-invalid mappings).
     """
     o = m.output
     checks = [

@@ -284,7 +284,9 @@ def image_features(px: np.ndarray) -> np.ndarray:
 
 def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
     """Deterministic 16-dim audio descriptor: shape/rate, amplitude stats,
-    RMS + zero-crossing rate, 6-bin amplitude histogram."""
+    RMS + zero-crossing rate, 7-bin amplitude histogram (9 stats + 7 bins
+    = FEATURE_DIM — the 'features' column must not be ragged across media
+    types, ADVICE r3)."""
     mono = samples.mean(axis=1)
     zc = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))) if len(mono) > 1 else 0.0
     feats = [
@@ -293,7 +295,7 @@ def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
         float(mono.min()), float(mono.max()),
         float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0,
         zc,
-        *_hist_features(mono, 6, -1.0, 1.0),
+        *_hist_features(mono, 7, -1.0, 1.0),
     ]
     return np.asarray(feats, dtype=np.float32)
 

@@ -269,3 +269,66 @@ def test_latency_quantiles_ordered_and_bounded(spark):
     for r in out:
         assert r.n >= 1
         assert 0 <= r.p50_sec <= r.p95_sec <= r.p99_sec <= 2.0
+
+
+def test_exp_histogram_negative_zero_null_semantics(spark):
+    """ADVICE r3 + VERDICT #5: zero_count counts EXACTLY x == 0; negative
+    measures bucket by |x| on the negative side; NULL measures are
+    rejected; count == zero_count + Σpos + Σneg; sum is signed."""
+    from sts_opentelemetry_collector_spark.operators.aggregate import exp_histogram
+
+    rows = [("a", v) for v in (0, 0, 1, 3, -1, -5, -8, None, 16)]
+    df = spark.createDataFrame(rows, "k string, x long")
+    r = exp_histogram(df, ["k"], "x").first()
+    assert r.zero_count == 2
+    assert r["count"] == 8  # NULL dropped
+    assert r["sum"] == 0 + 0 + 1 + 3 - 1 - 5 - 8 + 16
+    # pos: 1->idx0, 3->idx1, 16->idx4
+    assert r.positive_offset == 0
+    assert list(r.positive_bucket_counts) == [1, 1, 0, 0, 1]
+    # neg: |-1|->idx0, |-5|->idx2, |-8|->idx3
+    assert r.negative_offset == 0
+    assert list(r.negative_bucket_counts) == [1, 0, 1, 1]
+    assert (
+        sum(r.positive_bucket_counts) + sum(r.negative_bucket_counts) + r.zero_count
+        == r["count"]
+    )
+
+
+def test_exp_histogram_scale_param(spark):
+    """Scale math pins vs python floor(log2(|x|)·2^s) computed exactly:
+    s=-2 (coarser, integer shift) and s=1 (finer, exact square compare);
+    s=2 rejected."""
+    import math
+
+    import pytest as _pytest
+    from sts_opentelemetry_collector_spark.operators.aggregate import exp_histogram
+
+    xs = [1, 2, 3, 4, 5, 6, 8, 11, 15, 16, 17, 22, 23, 31, 32, 45, 63, 64,
+          90, 127, 128, 181, 182, 1000, 2**31 - 1, 2**40 + 7, 2**62 + 3]
+    df = spark.createDataFrame([("a", x) for x in xs], "k string, x long")
+
+    def expected_idx(x, s):
+        m = x.bit_length() - 1
+        if s <= 0:
+            return m >> (-s)
+        # s == 1: exact integer compare, no float log
+        return 2 * m + (1 if x * x >= 1 << (2 * m + 1) else 0)
+
+    for s in (-2, 1):
+        from collections import Counter
+
+        exp_counts = Counter(expected_idx(x, s) for x in xs)
+        off, mx = min(exp_counts), max(exp_counts)
+        expected = [exp_counts.get(i, 0) for i in range(off, mx + 1)]
+        r = exp_histogram(df, ["k"], "x", scale=s).first()
+        assert r.scale == s
+        assert r.positive_offset == off, (s, r.positive_offset, off)
+        assert list(r.positive_bucket_counts) == expected, (s, expected)
+        # spot-check s=1 against the float formula away from boundaries
+        if s == 1:
+            for x in (3, 5, 22, 45, 1000):
+                assert expected_idx(x, 1) == math.floor(math.log2(x) * 2)
+
+    with _pytest.raises(ValueError, match="scale > 1"):
+        exp_histogram(df, ["k"], "x", scale=2)

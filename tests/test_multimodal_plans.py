@@ -95,7 +95,10 @@ def test_extract_features_schema_and_values(spark):
     rows = feats.collect()
     assert len(rows) == 99
     r = rows[0]
-    assert len(r.features) == FEATURE_DIM
+    # EVERY media type must emit exactly FEATURE_DIM (ADVICE r3: audio
+    # was 15-dim and this check on rows[0] — an image — let it slip)
+    for x in rows:
+        assert len(x.features) == FEATURE_DIM, (x.media_type, len(x.features))
     assert r.n_bytes > 0
     # deterministic across runs
     again = {x.url: x.features for x in extract_features(media).collect()}
