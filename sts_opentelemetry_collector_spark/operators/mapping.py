@@ -523,7 +523,11 @@ def apply_mappings(
             continue
         result.refs[m.identifier] = referenced_columns(_mapping_exprs(m), df.columns)
         if m.action == ACTION_DELETE:
-            del_parts.append(out)
+            # DELETE is only valid for the LOGS signal; other signals
+            # silently ignore it (mapping_handler.go:72-73, :93-96
+            # HandleTerminalVisit) — no delete rows, no error record
+            if signal == "logs":
+                del_parts.append(out)
         else:
             comp_parts.append(out)
             err_parts.append(rec_err)
@@ -539,7 +543,8 @@ def apply_mappings(
             continue
         result.refs[m.identifier] = referenced_columns(_mapping_exprs(m), df.columns)
         if m.action == ACTION_DELETE:
-            del_parts.append(out)
+            if signal == "logs":  # see component branch: LOGS-only DELETE
+                del_parts.append(out)
         else:
             rel_parts.append(out)
             err_parts.append(rec_err)

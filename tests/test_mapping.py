@@ -322,3 +322,39 @@ def test_attr_lookup_folding_is_value_identical(spark):
     ra = sorted(map(str, plain.relations.collect()))
     rb = sorted(map(str, folded.relations.collect()))
     assert ra == rb
+
+
+def test_delete_only_valid_for_logs_signal(pages):
+    """mapping_handler.go:72-73, :93-96: at the terminal visit, DELETE
+    executes only when the signal is LOGS — other signals silently ignore
+    the mapping (no delete rows, no error record). CREATE is unaffected."""
+    from sts_opentelemetry_collector_spark.operators.mapping import apply_mappings
+
+    def mk(signal):
+        return MappingSet(
+            components=[
+                ComponentMapping(
+                    identifier=f"del-{signal}",
+                    signal=signal,
+                    action="DELETE",
+                    output=ComponentOutput(
+                        identifier="'urn:x'", name="'n'", type_name="'t'"
+                    ),
+                ),
+                ComponentMapping(
+                    identifier=f"create-{signal}",
+                    signal=signal,
+                    output=ComponentOutput(
+                        identifier="'urn:c'", name="'n'", type_name="'t'"
+                    ),
+                ),
+            ]
+        )
+
+    logs = apply_mappings(pages, mk("logs"), signal="logs")
+    assert logs.deletes.count() > 0
+
+    metrics = apply_mappings(pages, mk("metrics"), signal="metrics")
+    assert metrics.deletes.count() == 0          # DELETE silently dropped
+    assert metrics.components.count() > 0        # CREATE still runs
+    assert metrics.errors == []                  # and no error surfaced
