@@ -546,6 +546,18 @@ SELECT doc_id, group_rep FROM groups
 """
 
 
+def q_near_dup_groups_star(spark, sf):
+    """Connected components via the large-star/small-star alternation
+    (Kiveris et al. SOCC'14) over the same LSH near-dup pair graph —
+    must reach the identical fixpoint as min-label propagation
+    (dedup_groups), checked against the same recursive-CTE oracle.
+    This is the O(log² n)-round variant that survives unbounded
+    component diameters at 10^12 docs."""
+    from .operators.textops import near_dup_groups
+
+    return near_dup_groups(_t(spark, sf, "documents"), algorithm="star")
+
+
 def q_dedup_apply(spark, sf):
     """End of the near-dup flow: the KEPT corpus — drop non-representative
     members of every connected component, keep reps + singletons, via one
@@ -817,6 +829,77 @@ WITH m AS (
   FROM b GROUP BY 1
 )
 SELECT event_type, 0 AS scale, zero_count,
+       COALESCE(poff, 0) AS positive_offset,
+       md5(CASE WHEN poff IS NULL THEN '' ELSE array_to_string(
+         list_transform(range(CAST(poff AS BIGINT), CAST(pmx AS BIGINT) + 1),
+                        i -> CAST(len(list_filter(pidxs, v -> v = i)) AS VARCHAR)),
+         ',') END) AS pos_counts_digest,
+       COALESCE(noff, 0) AS negative_offset,
+       md5(CASE WHEN noff IS NULL THEN '' ELSE array_to_string(
+         list_transform(range(CAST(noff AS BIGINT), CAST(nmx AS BIGINT) + 1),
+                        i -> CAST(len(list_filter(nidxs, v -> v = i)) AS VARCHAR)),
+         ',') END) AS neg_counts_digest,
+       count, sum
+FROM g
+"""
+
+
+def q_k5_exp_histogram_scaled(spark, sf):
+    """A3b/K5 at scale -2: coarser base-2^4 buckets (idx = floor(
+    (bit_length-1)/4) — exact integer shift, no float logs), same signed
+    measure and full row shape as k5_exp_histogram. Pins the scale
+    parameter cross-engine (the DuckDB oracle uses // integer
+    division)."""
+    from .operators.aggregate import exp_histogram
+
+    e = _t(spark, sf, "events")
+    m = e.select(
+        "event_type",
+        (F.floor(F.col("value") * 10).cast("long") % 2000 - 50).alias("lat_ms"),
+    )
+    h = exp_histogram(m, ["event_type"], "lat_ms", scale=-2)
+
+    def digest(col):
+        return F.md5(
+            F.array_join(F.transform(F.col(col), lambda x: x.cast("string")), ",")
+        )
+
+    return h.select(
+        "event_type",
+        "scale",
+        "zero_count",
+        "positive_offset",
+        digest("positive_bucket_counts").alias("pos_counts_digest"),
+        "negative_offset",
+        digest("negative_bucket_counts").alias("neg_counts_digest"),
+        "count",
+        "sum",
+    )
+
+
+SQL_K5_EXP_HISTOGRAM_SCALED = """
+WITH m AS (
+  SELECT event_type, CAST(floor(value*10) AS BIGINT) % 2000 - 50 AS x FROM events
+), b AS (
+  SELECT event_type, x,
+         CASE WHEN x <> 0
+              THEN CAST((length(bin(abs(x))) - 1) // 4 AS INT) END AS idx,
+         CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END AS sgn
+  FROM m
+), g AS (
+  SELECT event_type,
+         list(idx) FILTER (WHERE sgn = 1) AS pidxs,
+         list(idx) FILTER (WHERE sgn = -1) AS nidxs,
+         COUNT(*) AS count,
+         CAST(SUM(x) AS BIGINT) AS sum,
+         CAST(COALESCE(COUNT(*) FILTER (WHERE x = 0), 0) AS BIGINT) AS zero_count,
+         MIN(idx) FILTER (WHERE sgn = 1) AS poff,
+         MAX(idx) FILTER (WHERE sgn = 1) AS pmx,
+         MIN(idx) FILTER (WHERE sgn = -1) AS noff,
+         MAX(idx) FILTER (WHERE sgn = -1) AS nmx
+  FROM b GROUP BY 1
+)
+SELECT event_type, -2 AS scale, zero_count,
        COALESCE(poff, 0) AS positive_offset,
        md5(CASE WHEN poff IS NULL THEN '' ELSE array_to_string(
          list_transform(range(CAST(poff AS BIGINT), CAST(pmx AS BIGINT) + 1),
@@ -2098,6 +2181,9 @@ QUERIES = {
     "k5_exp_histogram": q_k5_exp_histogram,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    # --- r4 additions
+    "dedup_groups_star": q_near_dup_groups_star,
+    "k5_exp_histogram_scaled": q_k5_exp_histogram_scaled,
     # --- queries whose operators changed in r4 (re-verify) + stable core
     "p2_condition_filter": q_p2_condition_filter,
     "p3_expression_transform": q_p3_expression_transform,
@@ -2219,4 +2305,6 @@ ORACLES = {
     "k5_exp_histogram": SQL_K5_EXP_HISTOGRAM,
     "embedding_near_dup": SQL_NEAR_DUP,
     "embedding_near_dup_lsh": SQL_NEAR_DUP_LSH,
+    "dedup_groups_star": SQL_NEAR_DUP_GROUPS,
+    "k5_exp_histogram_scaled": SQL_K5_EXP_HISTOGRAM_SCALED,
 }

@@ -242,6 +242,7 @@ def near_dup_groups(
     threshold: float = 0.5,
     bands: int = 4,
     max_iters: int = 20,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Connected-components grouping over the LSH-restricted near-dup pair
     graph — the "which docs to keep" step of corpus dedup: every doc in a
@@ -253,13 +254,16 @@ def near_dup_groups(
     list — label(v) <- min(label(v), min over neighbors' labels) — until a
     fixpoint (converges in O(component diameter) rounds; near-dup
     components are near-cliques, so typically 2-4). Each round is one
-    shuffle over LSH-candidate-volume edges, never n². At 100 TB replace
-    the naive propagation with the two-phase large-star/small-star
-    alternation (Kiveris et al., "Connected Components in MapReduce and
-    Beyond") — the same join+min primitive with provably O(log^2 n)
-    rounds; max_iters guards runaway graphs either way."""
+    shuffle over LSH-candidate-volume edges, never n². At 100 TB pass
+    algorithm="star" — the two-phase large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    the same join+min primitive with provably O(log² n) rounds for
+    unbounded component diameters; max_iters guards either way (and
+    non-convergence RAISES, never returns partial labels)."""
     pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold, bands=bands)
-    return connected_components(pairs.select("doc_a", "doc_b"), max_iters=max_iters)
+    return connected_components(
+        pairs.select("doc_a", "doc_b"), max_iters=max_iters, algorithm=algorithm
+    )
 
 
 def apply_dedup(docs: DataFrame, groups: DataFrame | None = None, **kwargs) -> DataFrame:
