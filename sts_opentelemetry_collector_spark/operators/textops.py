@@ -136,8 +136,11 @@ def _jaccard_on_candidates(
     if cache_registry is not None:
         cache_registry.append(candidates)
     # compute shingles ONLY for docs that appear in a candidate pair: the
-    # broadcast semi-join prunes rows before the (expensive) shingle
-    # projection runs — candidates are a tiny fraction of the corpus
+    # semi-join prunes rows before the (expensive) shingle projection
+    # runs. NO broadcast hint — on a templated corpus the candidate
+    # member set can be a large fraction of the input (same driver-OOM
+    # argument as apply_dedup's drop list); AQE broadcasts it at runtime
+    # when it measures small, else a shuffled semi-join on uniform doc_id
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
@@ -146,7 +149,7 @@ def _jaccard_on_candidates(
     # Jaccard over RAW shingles: word bigrams are shorter than md5 digests,
     # so intersect/union on them moves less data than on hashes.
     t = (
-        docs.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
+        docs.join(cand_ids, on="doc_id", how="left_semi")
         .select(F.col("doc_id"), shingles_col(n=n).alias("sh"))
         .persist()  # referenced twice (sh_a / sh_b joins)
     )
