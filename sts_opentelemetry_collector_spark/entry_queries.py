@@ -915,6 +915,79 @@ FROM g
 """
 
 
+def q_k5_exp_histogram_fine(spark, sf):
+    """A3b/K5 at scale +1: two sub-buckets per octave via the exact
+    decimal square compare (idx = 2m + [x² >= 2^(2m+1)], no float logs).
+    The DuckDB oracle mirrors the identical integer arithmetic (the
+    driver measure is < 2^31 so BIGINT squares exactly)."""
+    from .operators.aggregate import exp_histogram
+
+    e = _t(spark, sf, "events")
+    m = e.select(
+        "event_type",
+        (F.floor(F.col("value") * 10).cast("long") % 2000 - 50).alias("lat_ms"),
+    )
+    h = exp_histogram(m, ["event_type"], "lat_ms", scale=1)
+
+    def digest(col):
+        return F.md5(
+            F.array_join(F.transform(F.col(col), lambda x: x.cast("string")), ",")
+        )
+
+    return h.select(
+        "event_type",
+        "scale",
+        "zero_count",
+        "positive_offset",
+        digest("positive_bucket_counts").alias("pos_counts_digest"),
+        "negative_offset",
+        digest("negative_bucket_counts").alias("neg_counts_digest"),
+        "count",
+        "sum",
+    )
+
+
+SQL_K5_EXP_HISTOGRAM_FINE = """
+WITH m AS (
+  SELECT event_type, CAST(floor(value*10) AS BIGINT) % 2000 - 50 AS x FROM events
+), b AS (
+  SELECT event_type, x,
+         CASE WHEN x <> 0 THEN CAST(
+           2 * (length(bin(abs(x))) - 1)
+           + CASE WHEN abs(x) * abs(x) >=
+                  (CAST(1 AS BIGINT) << (2 * (length(bin(abs(x))) - 1) + 1))
+             THEN 1 ELSE 0 END AS INT) END AS idx,
+         CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END AS sgn
+  FROM m
+), g AS (
+  SELECT event_type,
+         list(idx) FILTER (WHERE sgn = 1) AS pidxs,
+         list(idx) FILTER (WHERE sgn = -1) AS nidxs,
+         COUNT(*) AS count,
+         CAST(SUM(x) AS BIGINT) AS sum,
+         CAST(COALESCE(COUNT(*) FILTER (WHERE x = 0), 0) AS BIGINT) AS zero_count,
+         MIN(idx) FILTER (WHERE sgn = 1) AS poff,
+         MAX(idx) FILTER (WHERE sgn = 1) AS pmx,
+         MIN(idx) FILTER (WHERE sgn = -1) AS noff,
+         MAX(idx) FILTER (WHERE sgn = -1) AS nmx
+  FROM b GROUP BY 1
+)
+SELECT event_type, 1 AS scale, zero_count,
+       COALESCE(poff, 0) AS positive_offset,
+       md5(CASE WHEN poff IS NULL THEN '' ELSE array_to_string(
+         list_transform(range(CAST(poff AS BIGINT), CAST(pmx AS BIGINT) + 1),
+                        i -> CAST(len(list_filter(pidxs, v -> v = i)) AS VARCHAR)),
+         ',') END) AS pos_counts_digest,
+       COALESCE(noff, 0) AS negative_offset,
+       md5(CASE WHEN noff IS NULL THEN '' ELSE array_to_string(
+         list_transform(range(CAST(noff AS BIGINT), CAST(nmx AS BIGINT) + 1),
+                        i -> CAST(len(list_filter(nidxs, v -> v = i)) AS VARCHAR)),
+         ',') END) AS neg_counts_digest,
+       count, sum
+FROM g
+"""
+
+
 def q_a6_envelope_groups(spark, sf):
     """A6: message coalescing — per (key, ts-minute) envelope stats."""
     e = _t(spark, sf, "events")
@@ -2184,6 +2257,7 @@ QUERIES = {
     # --- r4 additions
     "dedup_groups_star": q_near_dup_groups_star,
     "k5_exp_histogram_scaled": q_k5_exp_histogram_scaled,
+    "k5_exp_histogram_fine": q_k5_exp_histogram_fine,
     # --- queries whose operators changed in r4 (re-verify) + stable core
     "p2_condition_filter": q_p2_condition_filter,
     "p3_expression_transform": q_p3_expression_transform,
@@ -2307,4 +2381,5 @@ ORACLES = {
     "embedding_near_dup_lsh": SQL_NEAR_DUP_LSH,
     "dedup_groups_star": SQL_NEAR_DUP_GROUPS,
     "k5_exp_histogram_scaled": SQL_K5_EXP_HISTOGRAM_SCALED,
+    "k5_exp_histogram_fine": SQL_K5_EXP_HISTOGRAM_FINE,
 }

@@ -243,7 +243,17 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
         ).parquet(src)
 
     out = str(tmp_path / "out")
+    cached_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     run_incremental_dedup_stream(spark, src, out)
+    # cache hygiene (ADVICE r3): every frame persisted inside a
+    # micro-batch must be unpersisted after its writes — an always-on
+    # stream must not accumulate cached RDDs across triggers. Measured
+    # HERE, before the batch-path comparison below (whose own persists
+    # are session-lifetime by design).
+    cached_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert cached_after - cached_before <= 0, (
+        f"{cached_after - cached_before} cached RDDs leaked by the stream"
+    )
 
     got = spark.read.parquet(out + "/near_dup_pairs")
     canon = {
