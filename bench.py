@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "quality_gate",
     "incremental_dedup",
     "unigram_logprob",
+    "dedup_groups_star",
 ]
 
 

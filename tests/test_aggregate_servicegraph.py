@@ -332,3 +332,47 @@ def test_exp_histogram_scale_param(spark):
 
     with _pytest.raises(ValueError, match="scale > 1"):
         exp_histogram(df, ["k"], "x", scale=2)
+
+
+def test_exp_histogram_property_random_signed(spark):
+    """Property pin across all three supported scales: 200 seeded random
+    signed longs (mixed magnitudes incl. 64-bit extremes, zeros, and
+    NULLs) — every output field must match a python model computed with
+    exact integer arithmetic."""
+    import random
+    from collections import Counter
+
+    from sts_opentelemetry_collector_spark.operators.aggregate import exp_histogram
+
+    rng = random.Random(7)
+    xs = []
+    for _ in range(200):
+        mag = rng.choice([0, 1, 3, 10, 60])  # bit-magnitude class
+        v = rng.randrange(1 << mag, (1 << (mag + 2)) + 1) if mag else 0
+        xs.append(rng.choice([v, -v]))
+    xs += [0, 0, None, None, 2**62, -(2**62)]
+    df = spark.createDataFrame([("g", x) for x in xs], "k string, x long")
+
+    def idx(ax, s):
+        m = ax.bit_length() - 1
+        if s <= 0:
+            return m >> (-s)
+        return 2 * m + (1 if ax * ax >= 1 << (2 * m + 1) else 0)
+
+    for s in (0, -2, 1):
+        nn = [x for x in xs if x is not None]
+        pos = Counter(idx(x, s) for x in nn if x > 0)
+        neg = Counter(idx(-x, s) for x in nn if x < 0)
+        r = exp_histogram(df, ["k"], "x", scale=s).first()
+        assert r["count"] == len(nn)
+        assert r["sum"] == sum(nn)
+        assert r.zero_count == sum(1 for x in nn if x == 0)
+        for side, exp in (("positive", pos), ("negative", neg)):
+            off = r[f"{side}_offset"]
+            counts = list(r[f"{side}_bucket_counts"])
+            if not exp:
+                assert counts == []
+                continue
+            lo, hi = min(exp), max(exp)
+            assert off == lo, (s, side)
+            assert counts == [exp.get(i, 0) for i in range(lo, hi + 1)], (s, side)

@@ -512,3 +512,38 @@ def test_top_token_count_single_pass_equals_naive(spark):
     assert rows, "no rows"
     for r in rows:
         assert r.fast == r.slow, (r.doc_id, r.fast, r.slow)
+
+
+def test_connected_components_star_more_shapes(spark):
+    """star == union-find ground truth on adversarial shapes: a dense
+    near-clique, a binary-tree hierarchy, and two stars joined by a
+    bridge edge (the shapes large-star/small-star reorders most
+    aggressively)."""
+    from sts_opentelemetry_collector_spark.operators.textops import (
+        connected_components,
+    )
+
+    clique = [(i, j) for i in range(100, 110) for j in range(100, 110) if i < j]
+    tree = [(i, 2 * i) for i in range(1, 16)] + [(i, 2 * i + 1) for i in range(1, 16)]
+    two_stars = [(200, 200 + i) for i in range(1, 8)] + [
+        (300, 300 + i) for i in range(1, 8)
+    ] + [(207, 307)]  # bridge
+    edges = clique + tree + two_stars
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = {r.doc_id: r.group_rep
+            for r in connected_components(pairs, algorithm="star").collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    assert star == {v: find(v) for v in parent}
