@@ -416,6 +416,69 @@ def extract_frames(media: DataFrame, every_n: int = 1, batch_hint: int = 64) -> 
     return pruned.mapInPandas(run, schema=out_schema)
 
 
+def resize_pixels(px: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize of an (h, w, c) uint8 array:
+    output pixel (i, j) takes input pixel (floor(i·h/H), floor(j·w/W)) —
+    pure integer index math, bit-identical on every platform (bilinear
+    would make the result depend on float rounding)."""
+    h, w = px.shape[0], px.shape[1]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return px[rows][:, cols]
+
+
+def resize_images(
+    media: DataFrame, height: int, width: int, batch_hint: int = 256
+) -> DataFrame:
+    """REAL image resize: decode each PNG payload, nearest-neighbor resize
+    to (height, width), re-encode PNG — the normalize-resolution stage a
+    multimodal training pipeline runs before feature extraction / model
+    input. mapInPandas with the same batch-iterator shape as
+    extract_features; corrupt/non-decodable payloads pass through
+    UNCHANGED with resize_ok=False (one bad row must not fail an Arrow
+    batch). Non-image rows are pruned JVM-side before the payload ever
+    crosses to Python."""
+    out_schema = (
+        "url string, resize_ok boolean, out_h int, out_w int, "
+        "n_bytes_in long, n_bytes_out long, payload binary"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "url", "resize_ok", "out_h", "out_w",
+                "n_bytes_in", "n_bytes_out", "payload",
+            )}
+            for u, p in zip(pdf["url"], pdf["payload"]):
+                raw = p if isinstance(p, bytes) else bytes(p)
+                try:
+                    px = decode_png(raw)
+                    out = encode_png(
+                        np.ascontiguousarray(resize_pixels(px, height, width))
+                    )
+                    vals = (u, True, height, width, len(raw), len(out), out)
+                except (ValueError, zlib.error, struct.error):
+                    vals = (u, False, None, None, len(raw), len(raw), raw)
+                for k, v in zip(cols, vals):
+                    cols[k].append(v)
+            # explicit dtypes: an empty partition's default float64 columns
+            # fail Arrow's int/binary conversion (same as extract_frames)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(cols["url"], dtype=object),
+                    "resize_ok": pd.Series(cols["resize_ok"], dtype=bool),
+                    "out_h": pd.Series(cols["out_h"], dtype="Int32"),
+                    "out_w": pd.Series(cols["out_w"], dtype="Int32"),
+                    "n_bytes_in": pd.Series(cols["n_bytes_in"], dtype="int64"),
+                    "n_bytes_out": pd.Series(cols["n_bytes_out"], dtype="int64"),
+                    "payload": pd.Series(cols["payload"], dtype=object),
+                }
+            )
+
+    pruned = media.where(F.col("media_type") == "image").select("url", "payload")
+    return pruned.mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: one output row per sampled timestamp
     (explode of a sequence — pure JVM, no payload touched); the decode

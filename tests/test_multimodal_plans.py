@@ -344,3 +344,51 @@ def test_extract_frames_real_decode(spark):
         [("u", "video", b"junk")], "url string, media_type string, payload binary"
     )
     assert extract_frames(corrupt).count() == 0
+
+
+def test_resize_images_roundtrip_and_fallback(spark):
+    """Real resize: nearest-neighbor downscale by exact factors equals
+    numpy striding on the decoded pixels; output payloads are valid PNGs
+    of the target shape; corrupt payloads pass through unchanged with
+    resize_ok=False; deterministic across runs; non-image rows pruned."""
+    from sts_opentelemetry_collector_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        resize_images,
+        resize_pixels,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(10, 16, 3), dtype=np.uint8)
+    rows = [
+        ("img/ok", "image", bytearray(encode_png(px))),
+        ("img/bad", "image", bytearray(b"not a png at all")),
+        ("aud/skip", "audio", bytearray(b"RIFFxxxx")),
+    ]
+    media = spark.createDataFrame(
+        rows, "url string, media_type string, payload binary"
+    )
+    out = {r.url: r for r in resize_images(media, 5, 8).collect()}
+    assert set(out) == {"img/ok", "img/bad"}  # audio pruned JVM-side
+
+    ok = out["img/ok"]
+    assert ok.resize_ok and (ok.out_h, ok.out_w) == (5, 8)
+    got = decode_png(bytes(ok.payload))
+    # exact-factor nearest-neighbor == stride sampling
+    assert got.shape == (5, 8, 3)
+    assert (got == px[::2, ::2]).all()
+
+    bad = out["img/bad"]
+    assert not bad.resize_ok
+    assert bytes(bad.payload) == b"not a png at all"  # unchanged
+    assert bad.n_bytes_in == bad.n_bytes_out
+
+    # upscale path + pure-python model equivalence on a non-integer ratio
+    up = {r.url: r for r in resize_images(media, 14, 7).collect()}["img/ok"]
+    want = px[(np.arange(14) * 10) // 14][:, (np.arange(7) * 16) // 7]
+    assert (decode_png(bytes(up.payload)) == want).all()
+    assert (resize_pixels(px, 14, 7) == want).all()
+
+    # deterministic across runs
+    again = {r.url: r for r in resize_images(media, 5, 8).collect()}["img/ok"]
+    assert bytes(again.payload) == bytes(ok.payload)
