@@ -1,0 +1,37 @@
+"""Catalog-wide physical-plan gates: EVERY entry_queries query must plan
+without the two scale-killer shapes, at plan time, with no execution:
+
+- CartesianProduct: an unconditioned large-x-large join. (crossJoin
+  against a broadcast 1-row aggregate plans as BroadcastNestedLoopJoin,
+  which is fine and NOT flagged here — the scalar-broadcast pattern.)
+- BatchEvalPython: a row-at-a-time Python UDF in the plan. Only
+  Arrow-batched pandas UDFs (ArrowEvalPython) are allowed in the hot
+  path (SURVEY §2.9 / brief: "UDFs are the slow path").
+
+This subsumes the per-operator no-cartesian tests with one sweep over
+the full driver surface — a query added without thinking about its join
+shape fails here before it ever reaches the driver."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sts_opentelemetry_collector_spark.entry_queries import QUERIES
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+# queries whose plan is intentionally not built here: none currently —
+# keep the list visible so any future exception is explicit and reviewed
+PLAN_GATE_EXEMPT: set[str] = set()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_or_row_python_udf(spark, name):
+    if name in PLAN_GATE_EXEMPT:
+        pytest.skip("explicitly exempted")
+    df = QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
