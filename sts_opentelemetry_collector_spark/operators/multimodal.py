@@ -479,6 +479,67 @@ def resize_images(
     return pruned.mapInPandas(run, schema=out_schema)
 
 
+def resample_samples(samples: np.ndarray, rate_in: int, rate_out: int) -> np.ndarray:
+    """Deterministic nearest-sample rate conversion of an (n, ch) array:
+    output frame i takes input frame floor(i·rate_in/rate_out) — the audio
+    twin of resize_pixels (pure integer index math, no interpolation
+    float-rounding to diverge across platforms). Output length
+    floor(n·rate_out/rate_in)."""
+    n = samples.shape[0]
+    n_out = (n * rate_out) // rate_in
+    idx = (np.arange(n_out) * rate_in) // rate_out
+    return samples[idx]
+
+
+def resample_audio(
+    media: DataFrame, rate_out: int, batch_hint: int = 256
+) -> DataFrame:
+    """REAL audio resample: decode each WAV payload, nearest-sample
+    convert to rate_out, re-encode WAV — the normalize-sample-rate stage
+    an audio training pipeline runs before feature extraction. Same
+    mapInPandas + pass-through-on-corrupt contract as resize_images;
+    non-audio rows pruned JVM-side."""
+    out_schema = (
+        "url string, resample_ok boolean, rate_in int, rate_out int, "
+        "n_frames_out long, n_bytes_in long, n_bytes_out long, payload binary"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "url", "resample_ok", "rate_in", "rate_out",
+                "n_frames_out", "n_bytes_in", "n_bytes_out", "payload",
+            )}
+            for u, p in zip(pdf["url"], pdf["payload"]):
+                raw = p if isinstance(p, bytes) else bytes(p)
+                try:
+                    samples, rate = decode_wav(raw)
+                    res = resample_samples(samples, rate, rate_out)
+                    out = encode_wav(res, rate=rate_out)
+                    vals = (u, True, rate, rate_out, res.shape[0],
+                            len(raw), len(out), out)
+                except (ValueError, struct.error):
+                    vals = (u, False, None, rate_out, None,
+                            len(raw), len(raw), raw)
+                for k, v in zip(cols, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(cols["url"], dtype=object),
+                    "resample_ok": pd.Series(cols["resample_ok"], dtype=bool),
+                    "rate_in": pd.Series(cols["rate_in"], dtype="Int32"),
+                    "rate_out": pd.Series(cols["rate_out"], dtype="Int32"),
+                    "n_frames_out": pd.Series(cols["n_frames_out"], dtype="Int64"),
+                    "n_bytes_in": pd.Series(cols["n_bytes_in"], dtype="int64"),
+                    "n_bytes_out": pd.Series(cols["n_bytes_out"], dtype="int64"),
+                    "payload": pd.Series(cols["payload"], dtype=object),
+                }
+            )
+
+    pruned = media.where(F.col("media_type") == "audio").select("url", "payload")
+    return pruned.mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: one output row per sampled timestamp
     (explode of a sequence — pure JVM, no payload touched); the decode

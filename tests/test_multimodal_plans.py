@@ -392,3 +392,53 @@ def test_resize_images_roundtrip_and_fallback(spark):
     # deterministic across runs
     again = {r.url: r for r in resize_images(media, 5, 8).collect()}["img/ok"]
     assert bytes(again.payload) == bytes(ok.payload)
+
+
+def test_resample_audio_model_equality_and_fallback(spark):
+    """Real resample: nearest-sample rate conversion equals the integer
+    index model on the decoded frames (within the PCM16 requantization
+    step); corrupt payloads pass through unchanged; non-audio pruned;
+    deterministic."""
+    from sts_opentelemetry_collector_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        resample_audio,
+        resample_samples,
+    )
+
+    rng = np.random.RandomState(9)
+    s = rng.uniform(-0.8, 0.8, size=(120, 2))
+    rows = [
+        ("aud/ok", "audio", bytearray(encode_wav(s, rate=8000))),
+        ("aud/bad", "audio", bytearray(b"RIFFxxxxJUNK")),
+        ("img/skip", "image", bytearray(b"\x89PNG junk")),
+    ]
+    media = spark.createDataFrame(
+        rows, "url string, media_type string, payload binary"
+    )
+    out = {r.url: r for r in resample_audio(media, 4000).collect()}
+    assert set(out) == {"aud/ok", "aud/bad"}  # image pruned JVM-side
+
+    ok = out["aud/ok"]
+    assert ok.resample_ok and (ok.rate_in, ok.rate_out) == (8000, 4000)
+    assert ok.n_frames_out == 60  # floor(120 * 4000/8000)
+    got, rate = decode_wav(bytes(ok.payload))
+    assert rate == 4000 and got.shape == (60, 2)
+    # python model on the DECODED input frames; one extra PCM16
+    # quantization round-trip bounds the error
+    src, _ = decode_wav(bytes(rows[0][2]))
+    want = resample_samples(src, 8000, 4000)
+    assert np.abs(got - want).max() < 1.5 / 32768
+    # exact decimation indices: frame i == source frame 2i
+    assert np.abs(got - src[::2]).max() < 1.5 / 32768
+
+    bad = out["aud/bad"]
+    assert not bad.resample_ok
+    assert bytes(bad.payload) == b"RIFFxxxxJUNK"
+
+    # upsample path: length floor(120*3/2) and repeated-frame structure
+    up = {r.url: r for r in resample_audio(media, 12000).collect()}["aud/ok"]
+    assert up.n_frames_out == 180
+    # deterministic across runs
+    again = {r.url: r for r in resample_audio(media, 4000).collect()}["aud/ok"]
+    assert bytes(again.payload) == bytes(ok.payload)
