@@ -1890,6 +1890,43 @@ FROM documents
 """
 
 
+def q_fingerprints_winnow(spark, sf):
+    """Winnowing fingerprints (MOSS): per-window minima of md5-derived
+    k-gram rolling hashes — row-local HOFs, zero shuffles. Set-valued
+    output compared via sorted-distinct digest."""
+    from .operators.textops import winnowing_fingerprints
+
+    return winnowing_fingerprints(_t(spark, sf, "documents"), k=5, window=4)
+
+
+SQL_FINGERPRINTS_WINNOW = """
+WITH t AS (
+  SELECT doc_id, lower(text) AS s FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN length(s) >= 5
+              THEN list_transform(range(1, length(s) - 5 + 2),
+                   i -> ('0x' || substr(md5(substr(s, CAST(i AS INT), 5)), 1, 8))::BIGINT)
+              ELSE [] END AS h
+  FROM t
+), w AS (
+  SELECT doc_id, len(h) AS ng,
+         CASE WHEN len(h) >= 4
+              THEN list_sort(list_distinct(
+                   list_transform(range(1, len(h) - 4 + 2),
+                                  i -> list_min(h[i:i+3]))))
+              ELSE [] END AS fps
+  FROM g
+)
+SELECT doc_id,
+       CAST(ng AS INT) AS n_grams,
+       CAST(len(fps) AS INT) AS n_fingerprints,
+       md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ','))
+         AS fingerprints_digest
+FROM w
+"""
+
+
 def q_ann_cosine_topk(spark, sf):
     return cosine_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
@@ -2258,6 +2295,7 @@ QUERIES = {
     "dedup_groups_star": q_near_dup_groups_star,
     "k5_exp_histogram_scaled": q_k5_exp_histogram_scaled,
     "k5_exp_histogram_fine": q_k5_exp_histogram_fine,
+    "fingerprints_winnow": q_fingerprints_winnow,
     # --- queries whose operators changed in r4 (re-verify) + stable core
     "p2_condition_filter": q_p2_condition_filter,
     "p3_expression_transform": q_p3_expression_transform,
@@ -2382,4 +2420,5 @@ ORACLES = {
     "dedup_groups_star": SQL_NEAR_DUP_GROUPS,
     "k5_exp_histogram_scaled": SQL_K5_EXP_HISTOGRAM_SCALED,
     "k5_exp_histogram_fine": SQL_K5_EXP_HISTOGRAM_FINE,
+    "fingerprints_winnow": SQL_FINGERPRINTS_WINNOW,
 }

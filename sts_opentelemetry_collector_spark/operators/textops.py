@@ -736,6 +736,57 @@ def top_token_count(toks):
     return F.when(F.size(toks) > 0, fold)
 
 
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 5, window: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every character k-gram, slide a
+    w-window over the hash sequence, keep each window's minimum — the
+    guarantee is every match of length >= k+w-1 shares a fingerprint, so
+    the selected minima are a position-robust near-dup/plagiarism
+    signature at ~1/w density.
+
+    Spark shape: entirely row-local HOFs (k-gram substrings -> md5-derived
+    32-bit ints -> per-window array_min over slices) — zero shuffles,
+    scan-bound at any corpus size; O(n·w) per row with w small. Hash =
+    first 8 hex chars of md5(gram) (engine-portable like the rest of the
+    dedup family). Output keeps the distinct sorted minima plus a digest
+    for set-valued comparison."""
+    chars = F.lower(F.col(text_col))
+    n = F.length(chars)
+    ng = n - k + 1
+    grams = F.when(
+        ng >= 1,
+        F.transform(F.sequence(F.lit(1), ng), lambda i: chars.substr(i, F.lit(k))),
+    ).otherwise(F.array().cast("array<string>"))
+    # materialize the hash array ONCE: interpreted HOFs have no CSE, so an
+    # inline hash expression would re-run md5 per window membership
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+        ).alias("_h"),
+    )
+    h = F.col("_h")
+    nw = F.size(h) - window + 1
+    mins = F.when(
+        nw >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nw), lambda i: F.array_min(F.slice(h, i, window))
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    fps = F.array_sort(F.array_distinct(mins))
+    return hashed.select(
+        "doc_id",
+        F.size(h).alias("n_grams"),
+        F.size(fps).alias("n_fingerprints"),
+        F.md5(
+            F.array_join(F.transform(fps, lambda x: x.cast("string")), ",")
+        ).alias("fingerprints_digest"),
+    )
+
+
 def repetition_stats(
     docs: DataFrame,
     text_col: str = "text",

@@ -547,3 +547,54 @@ def test_connected_components_star_more_shapes(spark):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     assert star == {v: find(v) for v in parent}
+
+
+def test_winnowing_guarantee_and_model(spark):
+    """Winnowing (SIGMOD'03) pins: (1) exact equality with a pure-python
+    model of the same k-gram/window/hash scheme; (2) the detection
+    guarantee — two docs sharing a substring of length >= k+w-1 share at
+    least one fingerprint; (3) density — fingerprints ~ n/w, far fewer
+    than grams; (4) short-doc edges (n < k, k <= n < k+w-1) are empty /
+    single-window."""
+    import hashlib
+
+    from sts_opentelemetry_collector_spark.operators.textops import (
+        winnowing_fingerprints,
+    )
+
+    k, w = 5, 4
+    shared = "the identical plagiarized passage lives here"
+    texts = {
+        1: "intro words before " + shared + " and an ending one",
+        2: "completely different opening text then " + shared + " closing",
+        3: "no overlap with anything else at all in this document",
+        4: "tiny",          # n < k: zero grams
+        5: "sevench",       # k <= n < k+w-1: grams but < one full window
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+    def model_fps(text):
+        s = text.lower()
+        hs = [
+            int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:8], 16)
+            for i in range(len(s) - k + 1)
+        ]
+        return sorted({min(hs[i : i + w]) for i in range(len(hs) - w + 1)})
+
+    rows = {r.doc_id: r for r in winnowing_fingerprints(docs, k=k, window=w).collect()}
+    for i, t in texts.items():
+        fps = model_fps(t)
+        digest = hashlib.md5(",".join(str(x) for x in fps).encode()).hexdigest()
+        assert rows[i].n_grams == max(len(t) - k + 1, 0), i
+        assert rows[i].n_fingerprints == len(fps), i
+        assert rows[i].fingerprints_digest == digest, i
+
+    # detection guarantee: docs 1 and 2 share the passage (len >= k+w-1)
+    assert set(model_fps(texts[1])) & set(model_fps(texts[2]))
+    # density: selected minima are a small fraction of all grams
+    assert rows[1].n_fingerprints < rows[1].n_grams / 2
+    # edges
+    assert rows[4].n_grams == 0 and rows[4].n_fingerprints == 0
+    assert rows[5].n_grams == 3 and rows[5].n_fingerprints == 0  # < one window
