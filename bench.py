@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "unigram_logprob",
     "dedup_groups_star",
+    "fingerprints_winnow",
 ]
 
 
