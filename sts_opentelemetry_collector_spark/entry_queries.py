@@ -576,6 +576,74 @@ ANTI JOIN (SELECT doc_id FROM groups WHERE doc_id <> group_rep) x USING (doc_id)
 """
 
 
+def q_dedup_apply_best(spark, sf):
+    """Quality-keeper dedup: per near-dup component keep the member with
+    the most characters (tie -> lowest doc_id) — the keep-the-longest-copy
+    policy real corpora use; max_by hash aggregate, no windows."""
+    from .operators.textops import apply_dedup_keep_best
+
+    return apply_dedup_keep_best(_t(spark, sf, "documents")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SQL_DEDUP_APPLY_BEST = _NEAR_DUP_GROUPS_CTES + """
+, keepers AS (
+  SELECT group_rep, doc_id AS keep_doc_id
+  FROM (SELECT g.group_rep, g.doc_id, d.n_chars
+        FROM groups g JOIN documents d USING (doc_id))
+  QUALIFY row_number() OVER (PARTITION BY group_rep
+                             ORDER BY n_chars DESC, doc_id ASC) = 1
+), drops AS (
+  SELECT g.doc_id FROM groups g JOIN keepers k USING (group_rep)
+  WHERE g.doc_id <> k.keep_doc_id
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d ANTI JOIN drops USING (doc_id)
+"""
+
+
+def q_source_quality_rollup(spark, sf):
+    """Per-source quality aggregates (C4-style source-level filter
+    signal): docs, mean tokens, mean stopword ratio, quality-gate keep
+    rate — one partial-agg groupBy over row-local HOF stats."""
+    from .operators.textops import source_quality_rollup
+
+    return source_quality_rollup(_t(spark, sf, "documents"))
+
+
+SQL_SOURCE_QUALITY_ROLLUP = """
+WITH t AS (
+  SELECT source, string_split(lower(text), ' ') AS toks FROM documents
+), s AS (
+  SELECT source, len(toks) AS n,
+         CAST(len(list_filter(toks, t2 -> t2 IN ('the','and','of','with','from')))
+              AS DOUBLE) / len(toks) AS stop_ratio,
+         list_max(list_transform(list_distinct(toks),
+                  d -> len(list_filter(toks, t2 -> t2 = d)))) AS top,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS bg
+  FROM t
+), k AS (
+  SELECT source, n, stop_ratio,
+         CASE WHEN n >= 16
+               AND round(CAST(top AS DOUBLE) / n, 4) <= 0.1
+               AND (CASE WHEN len(bg) > 0
+                    THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+                    ELSE 0.0 END) <= 0.75
+               AND round(stop_ratio, 4) >= 0.01
+              THEN 1 ELSE 0 END AS keep
+  FROM s
+)
+SELECT source, COUNT(*) AS n_docs,
+       round(avg(n), 4) AS avg_tokens,
+       round(avg(stop_ratio), 4) AS avg_stopword_ratio,
+       round(avg(keep), 4) AS keep_rate
+FROM k GROUP BY source
+"""
+
+
 def q_dedup_simhash_pairs(spark, sf):
     """SimHash near-dup pairs (Hamming <= 2), banded on 4-bit signature
     chunks — pigeonhole guarantees completeness, equi-join kills the
@@ -2296,6 +2364,8 @@ QUERIES = {
     "k5_exp_histogram_scaled": q_k5_exp_histogram_scaled,
     "k5_exp_histogram_fine": q_k5_exp_histogram_fine,
     "fingerprints_winnow": q_fingerprints_winnow,
+    "dedup_apply_best": q_dedup_apply_best,
+    "source_quality_rollup": q_source_quality_rollup,
     # --- queries whose operators changed in r4 (re-verify) + stable core
     "p2_condition_filter": q_p2_condition_filter,
     "p3_expression_transform": q_p3_expression_transform,
@@ -2421,4 +2491,6 @@ ORACLES = {
     "k5_exp_histogram_scaled": SQL_K5_EXP_HISTOGRAM_SCALED,
     "k5_exp_histogram_fine": SQL_K5_EXP_HISTOGRAM_FINE,
     "fingerprints_winnow": SQL_FINGERPRINTS_WINNOW,
+    "dedup_apply_best": SQL_DEDUP_APPLY_BEST,
+    "source_quality_rollup": SQL_SOURCE_QUALITY_ROLLUP,
 }

@@ -288,6 +288,96 @@ def apply_dedup(docs: DataFrame, groups: DataFrame | None = None, **kwargs) -> D
     return docs.join(drops, on="doc_id", how="left_anti")
 
 
+def apply_dedup_keep_best(
+    docs: DataFrame,
+    groups: DataFrame | None = None,
+    quality_col: str = "n_chars",
+    **kwargs,
+) -> DataFrame:
+    """apply_dedup with a QUALITY keeper policy: per near-dup component,
+    keep the member with the highest quality_col (ties -> lowest doc_id)
+    instead of the min-id representative — the policy real corpora use
+    (keep the longest/cleanest copy, drop truncated mirrors).
+
+    Scale shape: groups ⋈ docs on doc_id (uniform hash keys) for the
+    quality lookup; one max_by hash aggregate per component (map-side
+    partial — NOT a row_number window, which would sort-shuffle all
+    members); then the same AQE-size-gated left-anti as apply_dedup."""
+    groups = groups if groups is not None else near_dup_groups(docs, **kwargs)
+    member = groups.join(docs.select("doc_id", quality_col), on="doc_id")
+    # argmax via struct ordering: (quality asc, -doc_id asc) maximized
+    # == highest quality then smallest id
+    keepers = member.groupBy("group_rep").agg(
+        F.max_by(
+            F.col("doc_id"),
+            F.struct(F.col(quality_col).alias("q"), (-F.col("doc_id")).alias("t")),
+        ).alias("keep_doc_id")
+    )
+    drops = (
+        member.join(keepers, on="group_rep")
+        .where(F.col("doc_id") != F.col("keep_doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(drops, on="doc_id", how="left_anti")
+
+
+def source_quality_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source corpus quality aggregates — the C4-style SOURCE-level
+    filter signal (a crawl source whose docs are mostly rejected gets cut
+    wholesale before per-doc filtering wastes compute on it):
+    docs, mean tokens, mean stopword ratio, and the quality_gate keep
+    rate per source.
+
+    Scale shape: all per-doc stats are row-local HOFs; ONE groupBy on
+    source (map-side partial agg). Sources are few (a dimension), so the
+    final agg frame is tiny; AQE handles any mega-source skew."""
+    # materialize the token array ONCE (no-CSE HOF rule, see
+    # repetition_stats); every stat derives from the shared column
+    base = docs.select("source", tokens_col(text_col).alias("_toks"))
+    tt = F.col("_toks")
+    nn = F.size(tt)
+    stop = F.size(
+        F.filter(
+            tt,
+            lambda t: (t == "the") | (t == "and") | (t == "of") | (t == "with") | (t == "from"),
+        )
+    )
+    base = base.select(
+        "source",
+        "_toks",
+        nn.alias("_n"),
+        (stop.cast("double") / nn).alias("_stop_ratio"),
+    )
+    top_frac = top_token_count(tt).cast("double") / nn
+    bigrams = F.when(
+        nn >= 2,
+        F.transform(
+            F.sequence(F.lit(1), nn - 1),
+            lambda i: F.concat_ws(" ", F.element_at(tt, i), F.element_at(tt, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_bg = F.when(
+        F.size(bigrams) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams),
+    ).otherwise(F.lit(0.0))
+    keep = (
+        (nn >= 16)
+        & (F.round(top_frac, 4) <= 0.1)
+        & (F.round(dup_bg, 4) <= 0.75)
+        & (F.round(F.col("_stop_ratio"), 4) >= 0.01)
+    )
+    return (
+        base.withColumn("_keep", keep.cast("int"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_n"), 4).alias("avg_tokens"),
+            F.round(F.avg("_stop_ratio"), 4).alias("avg_stopword_ratio"),
+            F.round(F.avg("_keep"), 4).alias("keep_rate"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iters: int = 20, algorithm: str = "propagation"
 ) -> DataFrame:

@@ -598,3 +598,35 @@ def test_winnowing_guarantee_and_model(spark):
     # edges
     assert rows[4].n_grams == 0 and rows[4].n_fingerprints == 0
     assert rows[5].n_grams == 3 and rows[5].n_fingerprints == 0  # < one window
+
+
+def test_apply_dedup_keep_best_policy(spark):
+    """Quality-keeper dedup keeps the HIGHEST-quality member per
+    component (tie -> lowest doc_id), unlike apply_dedup's min-id rep;
+    singletons always survive."""
+    from sts_opentelemetry_collector_spark.operators.textops import (
+        apply_dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short", "en", "s1", 5),
+            (2, "much longer copy", "en", "s1", 16),   # best of {1,2,3}
+            (3, "mid copy", "en", "s1", 8),
+            (7, "tie a", "en", "s2", 5),               # tie on quality with 9:
+            (9, "tie b", "en", "s2", 5),               #   lowest id (7) wins
+            (5, "lonely singleton", "en", "s3", 16),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)], "doc_id long, group_rep long"
+    )
+    kept = {r.doc_id for r in apply_dedup_keep_best(docs, groups=groups).collect()}
+    assert kept == {2, 7, 5}
+    # plan gate: argmax is a hash aggregate, not a row_number window
+    plan = (
+        apply_dedup_keep_best(docs, groups=groups)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
