@@ -35,3 +35,13 @@ def test_no_cartesian_or_row_python_udf(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+
+
+def test_catalog_queries_and_oracles_aligned():
+    """Every query has an oracle and vice versa (the driver records a
+    weaker rows-only check for oracle-less queries — we keep that set
+    empty on purpose), and the driver's 50-entry check window exists."""
+    from sts_opentelemetry_collector_spark.entry_queries import ORACLES, QUERIES
+
+    assert set(QUERIES) == set(ORACLES)
+    assert len(QUERIES) >= 50  # the driver checks dict order 1-50
