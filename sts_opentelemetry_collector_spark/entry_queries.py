@@ -465,6 +465,38 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_bigram_logprob(spark, sf):
+    """Order-2 LM quality score: per-doc mean ln P(w_i | w_{i-1}) under
+    the corpus bigram MLE — one bigram explode feeding pair + prefix
+    counts (partial-agg groupBys, AQE skew-join), no smoothing needed
+    (self-corpus scoring: every bigram is seen)."""
+    from .operators.textops import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf, "documents"))
+
+
+SQL_BIGRAM_LOGPROB = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+  FROM t WHERE len(toks) >= 2
+), p AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg
+), pair_cnt AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM p GROUP BY 1, 2
+), prefix_cnt AS (
+  SELECT w1, COUNT(*) AS c1 FROM p GROUP BY 1
+)
+SELECT p.doc_id,
+       round(avg(ln(CAST(c2 AS DOUBLE) / c1)), 4) AS avg_bigram_logprob,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams
+FROM p JOIN pair_cnt USING (w1, w2) JOIN prefix_cnt USING (w1)
+GROUP BY p.doc_id
+"""
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic stratified sampling: keep a doc iff its md5-derived
     bucket < rate — reproducible across engines/runs/partitionings, zero
@@ -2366,6 +2398,7 @@ QUERIES = {
     "fingerprints_winnow": q_fingerprints_winnow,
     "dedup_apply_best": q_dedup_apply_best,
     "source_quality_rollup": q_source_quality_rollup,
+    "bigram_logprob": q_bigram_logprob,
     # --- queries whose operators changed in r4 (re-verify) + stable core
     "p2_condition_filter": q_p2_condition_filter,
     "p3_expression_transform": q_p3_expression_transform,
@@ -2493,4 +2526,5 @@ ORACLES = {
     "fingerprints_winnow": SQL_FINGERPRINTS_WINNOW,
     "dedup_apply_best": SQL_DEDUP_APPLY_BEST,
     "source_quality_rollup": SQL_SOURCE_QUALITY_ROLLUP,
+    "bigram_logprob": SQL_BIGRAM_LOGPROB,
 }

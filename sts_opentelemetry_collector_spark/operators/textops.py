@@ -1057,6 +1057,51 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style LM quality signal, order-2: per-doc mean
+    ln P(w_i | w_{i-1}) under the corpus bigram MLE
+    (count(w_{i-1} w_i) / count(w_{i-1} ·)) — the next step up from
+    unigram_logprob toward the KenLM scoring CCNet uses; repetitive/
+    templated docs score near 0, high-entropy gibberish scores low.
+    No smoothing: scores are computed on the same corpus that built the
+    counts, so every bigram is seen (MLE is exact and engine-portable).
+    Docs with < 2 tokens have no bigrams and are omitted (no P() terms).
+
+    Scale shape: ONE bigram explode feeding the bigram-count table and
+    the per-doc mean; the prefix (history) counts REUSE the same exploded
+    frame grouped by w1 — two partial-agg groupBys + one bigram-keyed
+    equi-join (AQE skew-join for templated heads) + a 0-row-safe per-doc
+    mean. Mean rounded to 4 (cross-engine summation order)."""
+    toks = tokens_col(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = docs.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    pair_cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    prefix_cnt = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bg.join(pair_cnt, on=["w1", "w2"])
+        .join(prefix_cnt, on="w1")
+        .select(
+            "doc_id",
+            F.log(F.col("c2").cast("double") / F.col("c1")).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("lp"), 4).alias("avg_bigram_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
 def hash_mod_expr(key_col: str = "doc_id", mod: int = 100):
     """Engine-portable deterministic pseudo-random bucket in [0, mod):
     first 8 hex chars of md5(key) as an int, mod'ed. md5 is bit-identical
