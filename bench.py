@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "dedup_groups_star",
     "fingerprints_winnow",
+    "dedup_apply_best",
+    "source_quality_rollup",
+    "bigram_logprob",
 ]
 
 
