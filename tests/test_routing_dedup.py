@@ -576,14 +576,26 @@ def test_winnowing_guarantee_and_model(spark):
     )
 
     def model_fps(text):
+        # base-257 polynomial over code points (the paper's hash family)
         s = text.lower()
-        hs = [
-            int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:8], 16)
-            for i in range(len(s) - k + 1)
-        ]
+
+        def ph(g):
+            v = 0
+            for ch in g:
+                v = v * 257 + ord(ch)
+            return v
+
+        hs = [ph(s[i : i + k]) for i in range(len(s) - k + 1)]
         return sorted({min(hs[i : i + w]) for i in range(len(hs) - w + 1)})
 
     rows = {r.doc_id: r for r in winnowing_fingerprints(docs, k=k, window=w).collect()}
+    # the declarative HOF twin must agree with the Arrow fast path exactly
+    hof = {r.doc_id: r
+           for r in winnowing_fingerprints(docs, k=k, window=w, impl="hof").collect()}
+    for i in rows:
+        assert (rows[i].n_grams, rows[i].n_fingerprints, rows[i].fingerprints_digest) == (
+            hof[i].n_grams, hof[i].n_fingerprints, hof[i].fingerprints_digest
+        ), i
     for i, t in texts.items():
         fps = model_fps(t)
         digest = hashlib.md5(",".join(str(x) for x in fps).encode()).hexdigest()
