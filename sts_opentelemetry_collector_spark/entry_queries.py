@@ -170,15 +170,26 @@ FROM events GROUP BY event_type
 
 
 def q_d1_dedup_first_wins(spark, sf):
-    """D1: projection-key dedup, first-by-time wins (row_number == 1)."""
-    from pyspark.sql import Window
-
+    """D1: projection-key dedup, first-by-time wins. min_by over
+    struct(ts, event_id) — a partial-mergeable hash aggregate (map-side
+    combine, ONE shuffle of pre-reduced groups) instead of the
+    row_number window that would sort every group's rows; same trick as
+    apply_dedup_keep_best (textops.py). Struct comparison is
+    lexicographic, so (ts, event_id) ties break exactly like the old
+    ORDER BY ts, event_id."""
     e = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    win = F.min_by(
+        F.struct("event_id", "ts"), F.struct("ts", "event_id")
+    )
     return (
-        e.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("event_id", "user_id", "event_type", "ts")
+        e.groupBy("user_id", "event_type")
+        .agg(win.alias("_w"))
+        .select(
+            F.col("_w.event_id").alias("event_id"),
+            "user_id",
+            "event_type",
+            F.col("_w.ts").alias("ts"),
+        )
     )
 
 
@@ -913,6 +924,7 @@ def q_k5_exp_histogram(spark, sf):
 SQL_K5_EXP_HISTOGRAM = """
 WITH m AS (
   SELECT event_type, CAST(floor(value*10) AS BIGINT) % 2000 - 50 AS x FROM events
+  WHERE value IS NOT NULL
 ), b AS (
   SELECT event_type, x,
          CASE WHEN x <> 0 THEN CAST(length(bin(abs(x))) - 1 AS INT) END AS idx,
@@ -983,6 +995,7 @@ def q_k5_exp_histogram_scaled(spark, sf):
 SQL_K5_EXP_HISTOGRAM_SCALED = """
 WITH m AS (
   SELECT event_type, CAST(floor(value*10) AS BIGINT) % 2000 - 50 AS x FROM events
+  WHERE value IS NOT NULL
 ), b AS (
   SELECT event_type, x,
          CASE WHEN x <> 0
@@ -1053,6 +1066,7 @@ def q_k5_exp_histogram_fine(spark, sf):
 SQL_K5_EXP_HISTOGRAM_FINE = """
 WITH m AS (
   SELECT event_type, CAST(floor(value*10) AS BIGINT) % 2000 - 50 AS x FROM events
+  WHERE value IS NOT NULL
 ), b AS (
   SELECT event_type, x,
          CASE WHEN x <> 0 THEN CAST(

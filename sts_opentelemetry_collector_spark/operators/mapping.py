@@ -339,7 +339,7 @@ def _validate(df: DataFrame, m, exprs_and_kinds: list[tuple[str, str]]) -> str |
 
 def compile_component_mapping(
     df: DataFrame, m: ComponentMapping
-) -> tuple[DataFrame | None, DataFrame | None, str | None]:
+) -> tuple[DataFrame | None, DataFrame | None, str | None, DataFrame | None]:
     """Compile one component mapping.
 
     Returns (components, record_errors, mapping_error, flagged):
@@ -423,7 +423,7 @@ def compile_component_mapping(
 
 def compile_relation_mapping(
     df: DataFrame, m: RelationMapping
-) -> tuple[DataFrame | None, DataFrame | None, str | None]:
+) -> tuple[DataFrame | None, DataFrame | None, str | None, DataFrame | None]:
     o = m.output
     checks = [
         (m.condition or "", "bool"),
@@ -523,9 +523,15 @@ def apply_mappings(
             continue
         result.refs[m.identifier] = referenced_columns(_mapping_exprs(m), df.columns)
         if m.action == ACTION_DELETE:
-            # DELETE is only valid for the LOGS signal; other signals
-            # silently ignore it (mapping_handler.go:72-73, :93-96
-            # HandleTerminalVisit) — no delete rows, no error record
+            # DELETE is only valid for the LOGS signal at the TERMINAL
+            # visit (mapping_handler.go:72-73, :93-96 HandleTerminalVisit)
+            # — no delete rows, no error record. Fidelity note: the
+            # reference's HandleVisitLevel (mapping_handler.go:61) also
+            # executes DELETE mappings scoped to NON-terminal levels
+            # (resource/scope/metric) for metrics and traces; our flat
+            # per-record model has no level concept — every mapping is
+            # terminal-visit — so this gate implements terminal-visit
+            # semantics only (documented deviation, COVERAGE.md P1/P2).
             if signal == "logs":
                 del_parts.append(out)
         else:

@@ -316,6 +316,7 @@ def near_dup_pairs_lsh(
     n_planes: int = 4,
     bands: int = 1,
     extra_cols: tuple[str, ...] = (),
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Embedding near-dup via stacked sign-LSH bands — the 100 TB path:
     candidate pairs come from equi-joins on (band, bucket) — never
@@ -363,7 +364,11 @@ def near_dup_pairs_lsh(
     # ^ the self-join references the normalized+bucketed frame twice and
     # Spark re-evaluates per reference (norms + bands recomputed). Persist
     # = the materialized LSH-index pattern; at 100 TB this frame IS a
-    # bucketed table on disk, built once per corpus snapshot.
+    # bucketed table on disk, built once per corpus snapshot. Registered
+    # for release after the consuming action (cache.py lifecycle).
+    from .cache import register_cache
+
+    t = register_cache(t, cache_registry)
     a, b = t.alias("a"), t.alias("b")
     cos = F.round(_dot(F.col("a.nv"), F.col("b.nv")), 4)
     out_cols = [

@@ -135,13 +135,15 @@ def _jaccard_on_candidates(
     incremental-dedup stream, one call per micro-batch) pass a list; every
     frame persisted here is appended so the caller can unpersist after its
     consuming action — otherwise an always-on stream accumulates cached
-    frames until LRU eviction (executor storage pressure)."""
+    frames until LRU eviction (executor storage pressure). When None, the
+    frames land in the module-level session registry
+    (cache.release_caches() frees them)."""
+    from .cache import register_cache
+
     # candidate-volume frame referenced 4x downstream (cand_ids union
     # sides + the two shingle joins): without persist each reference
     # re-evaluates the signature+join subtree — measured ~2x the query
-    candidates = candidates.persist()
-    if cache_registry is not None:
-        cache_registry.append(candidates)
+    candidates = register_cache(candidates.persist(), cache_registry)
     # compute shingles ONLY for docs that appear in a candidate pair: the
     # semi-join prunes rows before the (expensive) shingle projection
     # runs. NO broadcast hint — on a templated corpus the candidate
@@ -155,13 +157,12 @@ def _jaccard_on_candidates(
     )
     # Jaccard over RAW shingles: word bigrams are shorter than md5 digests,
     # so intersect/union on them moves less data than on hashes.
-    t = (
+    t = register_cache(
         docs.join(cand_ids, on="doc_id", how="left_semi")
         .select(F.col("doc_id"), shingles_col(n=n).alias("sh"))
-        .persist()  # referenced twice (sh_a / sh_b joins)
+        .persist(),  # referenced twice (sh_a / sh_b joins)
+        cache_registry,
     )
-    if cache_registry is not None:
-        cache_registry.append(t)
     paired = (
         candidates.join(t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), on="doc_a")
         .join(t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), on="doc_b")
@@ -220,9 +221,11 @@ def incremental_near_dup_with_index(
     cache_registry: see _jaccard_on_candidates — pass a list from
     repeated-call contexts (the dedup stream) and unpersist its entries
     after consuming the result."""
-    new_idx = lsh_band_index(new_docs, bands=bands, n=n).persist()
-    if cache_registry is not None:
-        cache_registry.append(new_idx)
+    from .cache import register_cache
+
+    new_idx = register_cache(
+        lsh_band_index(new_docs, bands=bands, n=n).persist(), cache_registry
+    )
     nc = (
         corpus_idx.alias("a")
         .join(new_idx.alias("b"), on=["band", "bucket"])
@@ -386,7 +389,10 @@ def source_quality_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = 20, algorithm: str = "propagation"
+    pairs: DataFrame,
+    max_iters: int = 20,
+    algorithm: str = "propagation",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Connected components over an undirected (doc_a, doc_b) pair list:
     (doc_id, group_rep = min doc_id reachable), every paired vertex
@@ -406,7 +412,15 @@ def connected_components(
 
     Both raise RuntimeError if max_iters rounds pass without a fixpoint —
     a silently-partial labeling would emit wrong group_rep values
-    downstream (ADVICE r3)."""
+    downstream (ADVICE r3).
+
+    Checkpoint hygiene: each round's localCheckpoint blocks are freed as
+    soon as the next round's checkpoint supersedes them (they are dead —
+    no later plan references them), so the loop holds at most TWO rounds
+    of blocks at any instant instead of accumulating one per round. The
+    FINAL round's blocks back the returned frame and are registered in
+    cache_registry (or the session registry) for release after the
+    caller's consuming action (cache.py lifecycle)."""
     # symmetrize via ONE explode, not a union of two selects: a union has
     # two subtrees each re-evaluating the (expensive) upstream pair
     # generator before the persist below can serve either
@@ -419,9 +433,13 @@ def connected_components(
         ).alias("e")
     ).select("e.doc_a", "e.doc_b")
     if algorithm == "star":
-        return _cc_two_phase_star(edges, max_iters=max_iters)
+        return _cc_two_phase_star(
+            edges, max_iters=max_iters, cache_registry=cache_registry
+        )
     if algorithm != "propagation":
         raise ValueError("algorithm in ('propagation', 'star')")
+    from .cache import CheckpointHandle, register_cache
+
     edges = edges.persist()
     # localCheckpoint INSIDE iterative loops, not persist: each round's
     # plan references the previous round's twice (labels ⋈ neigh_min),
@@ -438,6 +456,7 @@ def connected_components(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    prev = CheckpointHandle(labels)
     converged = False
     for _ in range(max_iters):
         neigh_min = (
@@ -460,12 +479,20 @@ def connected_components(
                 (F.col("nmin") < F.col("label")).alias("_chg"),
             )
         ).localCheckpoint()
+        # updated is eagerly materialized — the previous round's blocks
+        # are now unreachable by any future plan; free them immediately
+        prev.free()
+        prev = CheckpointHandle(updated)
         changed = updated.where(F.col("_chg")).limit(1).count()
         labels = updated.drop("_chg")
         if changed == 0:
             converged = True
             break
     edges.unpersist()
+    # the final round's blocks back the returned frame: deferred release
+    # (register the handle of the CHECKPOINTED frame itself — labels is a
+    # projection over it, whose analyzed plan is not the LogicalRDD)
+    register_cache(prev, cache_registry)
     if not converged:
         raise RuntimeError(
             f"connected_components(propagation) did not converge in {max_iters} "
@@ -475,7 +502,11 @@ def connected_components(
     return labels.select("doc_id", F.col("label").alias("group_rep"))
 
 
-def _cc_two_phase_star(edges_sym: DataFrame, max_iters: int = 20) -> DataFrame:
+def _cc_two_phase_star(
+    edges_sym: DataFrame,
+    max_iters: int = 20,
+    cache_registry: list | None = None,
+) -> DataFrame:
     """Large-star/small-star alternation (Kiveris et al. SOCC'14 Alg. 2)
     over a SYMMETRIC edge list. Each round:
 
@@ -495,11 +526,15 @@ def _cc_two_phase_star(edges_sym: DataFrame, max_iters: int = 20) -> DataFrame:
 
     Lineage is truncated per round with localCheckpoint — see the
     propagation loop for why persist alone blows up analysis time."""
+    from .cache import CheckpointHandle, register_checkpoint
+
     cur = (
         edges_sym.where(F.col("doc_a") != F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
         .localCheckpoint()
     )
+    cur_n = cur.count()
+    prev = CheckpointHandle(cur)
     converged = False
     for _ in range(max_iters):
         # large-star over the symmetric closure of cur
@@ -537,12 +572,20 @@ def _cc_two_phase_star(edges_sym: DataFrame, max_iters: int = 20) -> DataFrame:
             .dropDuplicates(["doc_a", "doc_b"])
             .localCheckpoint()
         )
-        changed = (
-            small.exceptAll(cur).limit(1).count()
-            + cur.exceptAll(small).limit(1).count()
-        )
-        cur = small
-        if changed == 0:
+        # single-probe fixpoint test: both sides are DEDUPED edge sets, so
+        # |small| == |cur| plus one-sided containment (small \ cur == ∅)
+        # implies set equality — one count (whose value carries to the next
+        # round as cur_n) and at most one exceptAll job per round, instead
+        # of two exceptAll jobs; the exceptAll is skipped entirely when the
+        # cardinalities already differ.
+        small_n = small.count()
+        changed = small_n != cur_n or small.exceptAll(cur).limit(1).count() > 0
+        # the probe was the last reader of the previous round's blocks —
+        # free them now that small's checkpoint supersedes them
+        prev.free()
+        prev = CheckpointHandle(small)
+        cur, cur_n = small, small_n
+        if not changed:
             converged = True
             break
     if not converged:
@@ -554,6 +597,8 @@ def _cc_two_phase_star(edges_sym: DataFrame, max_iters: int = 20) -> DataFrame:
     labels = cur.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("group_rep")).unionByName(
         cur.select(F.col("doc_b").alias("doc_id"), F.col("doc_b").alias("group_rep"))
     ).groupBy("doc_id").agg(F.min("group_rep").alias("group_rep"))
+    # the final round's blocks back the returned frame: deferred release
+    register_checkpoint(cur, cache_registry)
     return labels
 
 
@@ -676,13 +721,20 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return hashed.select("doc_id", sim.cast("long").alias("simhash"))
 
 
-def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 2, cache_registry: list | None = None
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= k, banded on signature
     chunks: the 16-bit signature splits into 4 disjoint 4-bit chunks; by
     pigeonhole, Hamming <= 2 flips at most 2 chunks, so every true pair
     shares at least one identical chunk — an equi-join on
     (chunk_idx, chunk_value) finds all of them with NO cartesian.
-    Candidates sharing a chunk are then exact-filtered on bit_count(xor)."""
+    Candidates sharing a chunk are then exact-filtered on bit_count(xor).
+    cache_registry: see cache.py — the persisted signature index registers
+    there (or in the session registry) for release after the consuming
+    action."""
+    from .cache import register_cache
+
     s = simhash16(docs)
     chunked = s.select(
         "doc_id",
@@ -706,6 +758,7 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
     ).persist()
     # ^ the self-join references the signature frame twice; persist is the
     # materialized-signature-index pattern (at scale this IS a table)
+    chunked = register_cache(chunked, cache_registry)
     a, b = chunked.alias("a"), chunked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -1158,7 +1211,11 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    cache_registry: list | None = None,
+) -> DataFrame:
     """CCNet-style LM quality signal, order-2: per-doc mean
     ln P(w_i | w_{i-1}) under the corpus bigram MLE
     (count(w_{i-1} w_i) / count(w_{i-1} ·)) — the next step up from
@@ -1192,10 +1249,13 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # instances — the two count tables AND the scoring join all run over
     # the reduced frame (weighted by m). persist: three consumers of the
     # same explode subtree (no-CSE across actions).
-    doc_bg = (
+    from .cache import register_cache
+
+    doc_bg = register_cache(
         bg.groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("m"))
-        .persist()
+        .persist(),
+        cache_registry,
     )
     pair_cnt = doc_bg.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
     prefix_cnt = doc_bg.groupBy("w1").agg(F.sum("m").alias("c1"))

@@ -37,6 +37,17 @@ def test_no_cartesian_or_row_python_udf(spark, name):
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
 
 
+def test_d1_dedup_plans_as_hash_aggregate(spark):
+    """d1_dedup_first_wins must plan as a partial-mergeable hash aggregate
+    (min_by), NOT a window sort: a row_number window shuffles and sorts
+    every group's rows, the aggregate shuffles pre-reduced groups
+    (VERDICT r4 Wrong #2)."""
+    df = QUERIES["d1_dedup_first_wins"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "d1 regressed to a window sort"
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
 def test_catalog_queries_and_oracles_aligned():
     """Every query has an oracle and vice versa (the driver records a
     weaker rows-only check for oracle-less queries — we keep that set
