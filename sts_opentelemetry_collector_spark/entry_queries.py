@@ -511,6 +511,78 @@ GROUP BY d.doc_id
 """
 
 
+def q_bigram_backoff_scored(spark, sf):
+    """Held-out LM scoring (CCNet filter shape): docs split by md5 bucket
+    into a TRAIN corpus (bucket < 80) that builds the bigram LM and a
+    disjoint SCORE batch (bucket >= 80) scored under Stupid Backoff —
+    unseen bigrams take alpha * unigram, OOV takes the alpha/N floor.
+    backoff_frac pins the seen/unseen join logic cross-engine."""
+    from .operators.textops import bigram_logprob_scored, hash_mod_expr
+
+    docs = _t(spark, sf, "documents")
+    bucket = hash_mod_expr("doc_id", 100)
+    return bigram_logprob_scored(
+        docs.where(bucket < 80), docs.where(bucket >= 80)
+    )
+
+
+SQL_BIGRAM_BACKOFF_SCORED = """
+WITH split AS (
+  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+              AS bucket
+  FROM documents
+), t_train AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM split WHERE bucket < 80
+), t_score AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM split WHERE bucket >= 80
+), bg_train AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        FROM t_train WHERE len(toks) >= 2)
+), train_bg AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS m FROM bg_train GROUP BY 1, 2, 3
+), pair_cnt AS (
+  SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c2 FROM train_bg GROUP BY 1, 2
+), prefix_cnt AS (
+  SELECT w1, CAST(SUM(m) AS BIGINT) AS c1 FROM train_bg GROUP BY 1
+), uni_cnt AS (
+  SELECT tok AS w2, COUNT(*) AS cu
+  FROM (SELECT unnest(toks) AS tok FROM t_train) GROUP BY 1
+), total AS (
+  SELECT COUNT(*) AS n_total
+  FROM (SELECT unnest(toks) AS tok FROM t_train)
+), score_bg AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        FROM t_score WHERE len(toks) >= 2)
+), doc_bg AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS m FROM score_bg GROUP BY 1, 2, 3
+), j AS (
+  SELECT d.doc_id, d.m,
+         (p.c2 IS NOT NULL AND x.c1 IS NOT NULL) AS seen,
+         CASE WHEN p.c2 IS NOT NULL AND x.c1 IS NOT NULL
+              THEN ln(CAST(p.c2 AS DOUBLE) / x.c1)
+              ELSE ln(0.4 * CAST(COALESCE(u.cu, 1) AS DOUBLE) / t.n_total)
+         END AS lp
+  FROM doc_bg d
+  LEFT JOIN pair_cnt p USING (w1, w2)
+  LEFT JOIN prefix_cnt x USING (w1)
+  LEFT JOIN uni_cnt u USING (w2)
+  CROSS JOIN total t
+)
+SELECT doc_id,
+       round(SUM(lp * m) / SUM(m), 4) AS avg_bigram_logprob,
+       CAST(SUM(m) AS BIGINT) AS n_bigrams,
+       round(SUM(CASE WHEN NOT seen THEN m ELSE 0 END) * 1.0 / SUM(m), 4)
+         AS backoff_frac
+FROM j GROUP BY doc_id
+"""
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic stratified sampling: keep a doc iff its md5-derived
     bucket < rate — reproducible across engines/runs/partitionings, zero
@@ -1102,6 +1174,154 @@ SELECT event_type, 1 AS scale, zero_count,
          ',') END) AS neg_counts_digest,
        count, sum
 FROM g
+"""
+
+
+def q_k5_exp_histogram_passthrough(spark, sf):
+    """K5 passthrough path: pre-bucketed OTLP exp-histogram datapoints at
+    ARBITRARY scales (here 2..5 — beyond the exact-aggregation cap of 1)
+    are merged per metric group WITHOUT re-bucketing raw values: target
+    scale = group min, finer buckets fold by floor(idx / 2^delta) — what
+    exponential_histogram_metrics.go:34-41 stores. Datapoints are
+    synthesized deterministically from events per (event_type, user
+    shard): varied scales, negative offsets, and count ==
+    zero_count + Σpos + Σneg by construction."""
+    from .operators.aggregate import exp_histogram_merge
+
+    e = _t(spark, sf, "events")
+    g = e.groupBy(
+        "event_type", F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 10).cast("long")).alias("s"),
+    )
+    n = F.col("n")
+    pbc = F.array(
+        n,
+        F.floor(n / 2).cast("long") + 1,
+        F.floor(n / 3).cast("long") + 1,
+    )
+    nbc = F.array(
+        F.floor(n / 4).cast("long") + 1,
+        F.floor(n / 5).cast("long") + 1,
+    )
+    zc = (n % 5).cast("long")
+    dp = g.select(
+        "event_type",
+        (F.col("shard") + 2).alias("scale"),
+        zc.alias("zero_count"),
+        (n % 7 - 3).cast("int").alias("positive_offset"),
+        pbc.alias("positive_bucket_counts"),
+        (n % 5 - 2).cast("int").alias("negative_offset"),
+        nbc.alias("negative_bucket_counts"),
+        (
+            zc
+            + F.aggregate(pbc, F.lit(0).cast("long"), lambda a, x: a + x)
+            + F.aggregate(nbc, F.lit(0).cast("long"), lambda a, x: a + x)
+        ).alias("count"),
+        F.col("s").alias("sum"),
+    )
+    h = exp_histogram_merge(dp, ["event_type"])
+
+    def digest(col):
+        return F.md5(
+            F.array_join(F.transform(F.col(col), lambda x: x.cast("string")), ",")
+        )
+
+    return h.select(
+        "event_type",
+        "scale",
+        "zero_count",
+        "positive_offset",
+        digest("positive_bucket_counts").alias("pos_counts_digest"),
+        "negative_offset",
+        digest("negative_bucket_counts").alias("neg_counts_digest"),
+        "count",
+        "sum",
+    )
+
+
+SQL_K5_EXP_HISTOGRAM_PASSTHROUGH = """
+WITH g AS (
+  SELECT event_type, CAST(user_id % 4 AS INT) AS shard,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(floor(value*10) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+), dp AS (
+  SELECT event_type,
+         shard + 2 AS scale,
+         CAST(n % 5 AS BIGINT) AS zero_count,
+         CAST(n % 7 - 3 AS INT) AS positive_offset,
+         [CAST(n AS BIGINT), CAST(floor(n/2) AS BIGINT)+1,
+          CAST(floor(n/3) AS BIGINT)+1] AS pbc,
+         CAST(n % 5 - 2 AS INT) AS negative_offset,
+         [CAST(floor(n/4) AS BIGINT)+1, CAST(floor(n/5) AS BIGINT)+1] AS nbc,
+         s
+  FROM g
+), dp2 AS (
+  SELECT *, zero_count + pbc[1] + pbc[2] + pbc[3] + nbc[1] + nbc[2] AS cnt_total
+  FROM dp
+), tgt AS (
+  SELECT event_type, MIN(scale) AS tscale FROM dp2 GROUP BY 1
+), pex AS (
+  SELECT u.event_type, t.tscale, 1 AS sgn,
+         CAST(floor((u.positive_offset + u.ord - 1) * 1.0
+                    / pow(2, u.scale - t.tscale)) AS INT) AS idx,
+         u.cnt
+  FROM (SELECT event_type, scale, positive_offset,
+               unnest(pbc) AS cnt, generate_subscripts(pbc, 1) AS ord
+        FROM dp2) u
+  JOIN tgt t USING (event_type)
+  WHERE u.cnt <> 0
+), nex AS (
+  SELECT u.event_type, t.tscale, -1 AS sgn,
+         CAST(floor((u.negative_offset + u.ord - 1) * 1.0
+                    / pow(2, u.scale - t.tscale)) AS INT) AS idx,
+         u.cnt
+  FROM (SELECT event_type, scale, negative_offset,
+               unnest(nbc) AS cnt, generate_subscripts(nbc, 1) AS ord
+        FROM dp2) u
+  JOIN tgt t USING (event_type)
+  WHERE u.cnt <> 0
+), gb AS (
+  SELECT event_type, tscale, sgn, idx, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM (SELECT * FROM pex UNION ALL SELECT * FROM nex)
+  GROUP BY 1, 2, 3, 4
+), agg AS (
+  SELECT event_type, tscale,
+         MIN(idx) FILTER (WHERE sgn = 1) AS poff,
+         MAX(idx) FILTER (WHERE sgn = 1) AS pmx,
+         map_from_entries(list(struct_pack(k := idx, v := cnt))
+                          FILTER (WHERE sgn = 1)) AS pmap,
+         MIN(idx) FILTER (WHERE sgn = -1) AS noff,
+         MAX(idx) FILTER (WHERE sgn = -1) AS nmx,
+         map_from_entries(list(struct_pack(k := idx, v := cnt))
+                          FILTER (WHERE sgn = -1)) AS nmap
+  FROM gb GROUP BY 1, 2
+), totals AS (
+  SELECT event_type,
+         CAST(SUM(zero_count) AS BIGINT) AS zero_count,
+         CAST(SUM(cnt_total) AS BIGINT) AS count,
+         CAST(SUM(s) AS BIGINT) AS sum
+  FROM dp2 GROUP BY 1
+)
+SELECT t.event_type, tg.tscale AS scale, t.zero_count,
+       COALESCE(a.poff, 0) AS positive_offset,
+       md5(CASE WHEN a.poff IS NULL THEN '' ELSE array_to_string(
+         list_transform(range(CAST(a.poff AS BIGINT), CAST(a.pmx AS BIGINT) + 1),
+                        i -> CAST(coalesce(map_extract(a.pmap, CAST(i AS INT))[1],
+                                           0) AS VARCHAR)),
+         ',') END) AS pos_counts_digest,
+       COALESCE(a.noff, 0) AS negative_offset,
+       md5(CASE WHEN a.noff IS NULL THEN '' ELSE array_to_string(
+         list_transform(range(CAST(a.noff AS BIGINT), CAST(a.nmx AS BIGINT) + 1),
+                        i -> CAST(coalesce(map_extract(a.nmap, CAST(i AS INT))[1],
+                                           0) AS VARCHAR)),
+         ',') END) AS neg_counts_digest,
+       t.count, t.sum
+FROM totals t
+JOIN tgt tg USING (event_type)
+LEFT JOIN agg a USING (event_type)
 """
 
 
@@ -2396,59 +2616,15 @@ FROM cand WHERE label_a = label_b GROUP BY 1
 # check window; long-stable queries (driver-green since r2/r3, unchanged
 # since) rotate to the tail.
 QUERIES = {
-    # --- r3 additions / r4 rewrites: never (or not recently) driver-checked
-    "lang_id": q_lang_id,
-    "quality_scores": q_quality_scores,
-    "token_counts": q_token_counts,
-    "fingerprints": q_fingerprints,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_lsh_buckets": q_ann_lsh_buckets,
-    "ann_ivf_assign": q_ann_ivf_assign,
-    "ann_kmeans_refine": q_ann_kmeans_refine,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_lsh_topk_multiprobe": q_ann_lsh_topk_multiprobe,
-    "k5_metrics_dispatch": q_k5_metrics_dispatch,
-    "k5_exp_histogram": q_k5_exp_histogram,
-    "embedding_near_dup": q_embedding_near_dup,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    # --- r4 additions
-    "dedup_groups_star": q_near_dup_groups_star,
-    "k5_exp_histogram_scaled": q_k5_exp_histogram_scaled,
-    "k5_exp_histogram_fine": q_k5_exp_histogram_fine,
-    "fingerprints_winnow": q_fingerprints_winnow,
-    "dedup_apply_best": q_dedup_apply_best,
-    "source_quality_rollup": q_source_quality_rollup,
-    "bigram_logprob": q_bigram_logprob,
-    # --- queries whose operators changed in r4 (re-verify) + stable core
-    "p2_condition_filter": q_p2_condition_filter,
-    "p3_expression_transform": q_p3_expression_transform,
-    "p7_component_projection": q_p7_component_projection,
-    "p8_relation_projection": q_p8_relation_projection,
-    "p11_json_body_extract": q_p11_json_body_extract,
-    "p15_usage_bytes": q_p15_usage_bytes,
-    "d1_dedup_first_wins": q_d1_dedup_first_wins,
-    "d3_refresh_window_dedup": q_d3_refresh_window_dedup,
-    "d4_settings_diff": q_d4_settings_diff,
-    "d5_resource_content_hash": q_d5_resource_content_hash,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_groups": q_near_dup_groups,
-    "dedup_apply": q_dedup_apply,
-    "incremental_dedup": q_incremental_dedup,
-    "repetition_stats": q_repetition_stats,
-    "quality_gate": q_quality_gate,
-    "unigram_logprob": q_unigram_logprob,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "stratified_sample": q_stratified_sample,
-    "decontaminate": q_decontaminate,
-    "dedup_minhash_lsh": q_minhash_lsh,
-    "dedup_simhash": q_simhash,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "j1_pair_join": q_j1_pair_join,
-    "j2_broadcast_enrich": q_j2_broadcast_enrich,
-    "j3_enrichment_cascade": q_j3_enrichment_cascade,
-    "a1_edge_counters": q_a1_edge_counters,
+    # Driver-window rotation policy (standing invariant since r5): the
+    # driver checks the FIRST 50 entries each round. Window composition:
+    #   (1) every query rotated out of the previous round's window
+    #       (no catalog query goes >2 rounds without a driver row),
+    #   (2) every query added this round,
+    #   (3) every query whose operator code changed this round.
+    # The tail is prior-round driver-green with untouched code, and stays
+    # green in the local all-catalog mirror (tests/test_oracle.py).
+    # --- (1) the 22 queries rotated out of the r4 window (r3-certified)
     "a3_histogram": q_a3_histogram,
     "a6_envelope_groups": q_a6_envelope_groups,
     "w1_tumbling_rollup": q_w1_tumbling_rollup,
@@ -2456,8 +2632,6 @@ QUERIES = {
     "r1_shard_routing": q_r1_shard_routing,
     "r3_fanout_counts": q_r3_fanout_counts,
     "s3_cdc_diff": q_s3_cdc_diff,
-    # --- tail (out of the 50-entry driver window): driver-green at r3,
-    # unchanged since; still verified every round by tests/test_oracle.py
     "p16_auth_quarantine": q_p16_auth_quarantine,
     "a6_envelope_split": q_a6_envelope_split,
     "w2_sessionize": q_w2_sessionize,
@@ -2473,6 +2647,62 @@ QUERIES = {
     "k3_traces_sink": q_k3_traces_sink,
     "p14_ottl_transform": q_p14_ottl_transform,
     "r4_topic_override": q_r4_topic_override,
+    # --- (2) r5 additions
+    "k5_exp_histogram_passthrough": q_k5_exp_histogram_passthrough,
+    "bigram_backoff_scored": q_bigram_backoff_scored,
+    # --- (3) queries whose operator code changed in r5
+    "d1_dedup_first_wins": q_d1_dedup_first_wins,
+    "k5_exp_histogram": q_k5_exp_histogram,
+    "k5_exp_histogram_scaled": q_k5_exp_histogram_scaled,
+    "k5_exp_histogram_fine": q_k5_exp_histogram_fine,
+    "dedup_groups": q_near_dup_groups,
+    "dedup_groups_star": q_near_dup_groups_star,
+    "dedup_apply": q_dedup_apply,
+    "dedup_apply_best": q_dedup_apply_best,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "incremental_dedup": q_incremental_dedup,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "bigram_logprob": q_bigram_logprob,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    # --- tail (out of the 50-entry driver window): driver-green at r4,
+    # code untouched in r5; verified every round by tests/test_oracle.py
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "token_counts": q_token_counts,
+    "fingerprints": q_fingerprints,
+    "fingerprints_winnow": q_fingerprints_winnow,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_ivf_assign": q_ann_ivf_assign,
+    "ann_kmeans_refine": q_ann_kmeans_refine,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_lsh_topk_multiprobe": q_ann_lsh_topk_multiprobe,
+    "k5_metrics_dispatch": q_k5_metrics_dispatch,
+    "source_quality_rollup": q_source_quality_rollup,
+    "p2_condition_filter": q_p2_condition_filter,
+    "p3_expression_transform": q_p3_expression_transform,
+    "p7_component_projection": q_p7_component_projection,
+    "p8_relation_projection": q_p8_relation_projection,
+    "p11_json_body_extract": q_p11_json_body_extract,
+    "p15_usage_bytes": q_p15_usage_bytes,
+    "d3_refresh_window_dedup": q_d3_refresh_window_dedup,
+    "d4_settings_diff": q_d4_settings_diff,
+    "d5_resource_content_hash": q_d5_resource_content_hash,
+    "dedup_exact": q_dedup_exact,
+    "repetition_stats": q_repetition_stats,
+    "quality_gate": q_quality_gate,
+    "unigram_logprob": q_unigram_logprob,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
+    "dedup_minhash_lsh": q_minhash_lsh,
+    "dedup_simhash": q_simhash,
+    "j1_pair_join": q_j1_pair_join,
+    "j2_broadcast_enrich": q_j2_broadcast_enrich,
+    "j3_enrichment_cascade": q_j3_enrichment_cascade,
+    "a1_edge_counters": q_a1_edge_counters,
 }
 
 ORACLES = {
@@ -2539,6 +2769,8 @@ ORACLES = {
     "ann_lsh_topk_multiprobe": SQL_ANN_LSH_TOPK_MULTIPROBE,
     "k5_metrics_dispatch": SQL_K5,
     "k5_exp_histogram": SQL_K5_EXP_HISTOGRAM,
+    "k5_exp_histogram_passthrough": SQL_K5_EXP_HISTOGRAM_PASSTHROUGH,
+    "bigram_backoff_scored": SQL_BIGRAM_BACKOFF_SCORED,
     "embedding_near_dup": SQL_NEAR_DUP,
     "embedding_near_dup_lsh": SQL_NEAR_DUP_LSH,
     "dedup_groups_star": SQL_NEAR_DUP_GROUPS,

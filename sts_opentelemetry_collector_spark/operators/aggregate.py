@@ -191,6 +191,109 @@ def exp_histogram(
     )
 
 
+def exp_histogram_merge(dp: DataFrame, dims: list[str]) -> DataFrame:
+    """K5 exp-histogram datapoint PASSTHROUGH + merge — what the
+    reference sink actually does: it stores already-bucketed OTLP
+    exponential-histogram datapoints at whatever scale arrived
+    (exporter/clickhousestsexporter/internal/
+    exponential_histogram_metrics.go:34-41 — no re-bucketing), any
+    scale up to OTLP's 20. `exp_histogram` AGGREGATES raw measures
+    (exact integer math caps it at scale <= 1); this operator MERGES
+    pre-bucketed datapoint rows per dims group, so arbitrary input
+    scales flow through.
+
+    Merge rule (OTel exponential histogram data model): the merged
+    scale is the MINIMUM scale in the group; a bucket index k at scale
+    s maps to floor(k / 2^(s - s_min)) at s_min (every finer bucket
+    nests inside exactly one coarser bucket). zero_count / count / sum
+    add. A single-datapoint group passes through byte-identically at
+    its own scale. Empty (all-zero-count) sides emit empty arrays with
+    offset 0; zero-count source buckets never widen the merged range.
+
+    Input columns per datapoint row: dims..., scale:int,
+    zero_count:long, positive_offset:int,
+    positive_bucket_counts:array<long>, negative_offset:int,
+    negative_bucket_counts:array<long>, count:long, sum:long.
+
+    Plan shape: target scale is one dims-keyed partial-agg groupBy
+    joined back (AQE broadcasts the dim-cardinality side); bucket
+    explode is row-local; then the same two-phase (dims, sign, idx)
+    partial agg + dims assembly as exp_histogram. The index remap is
+    floor(idx / 2^delta) in double math — exact, indices are
+    O(bit_length * 2^scale) << 2^52. No UDFs, no windows."""
+    tgt = dp.groupBy(*dims).agg(F.min("scale").alias("_tscale"))
+    d = dp.join(tgt, on=dims)
+
+    def side_explode(sign: int, off_col: str, arr_col: str):
+        e = d.select(
+            *dims,
+            "_tscale",
+            (F.col("scale") - F.col("_tscale")).alias("_delta"),
+            F.col(off_col).alias("_off"),
+            F.posexplode(F.col(arr_col)).alias("_pos", "_cnt"),
+        ).where(F.col("_cnt") != 0)
+        src_idx = F.col("_off") + F.col("_pos")
+        tgt_idx = F.floor(
+            src_idx.cast("double") / F.pow(F.lit(2.0), F.col("_delta").cast("double"))
+        ).cast("int")
+        return e.select(
+            *dims,
+            "_tscale",
+            F.lit(sign).alias("_sgn"),
+            tgt_idx.alias("_idx"),
+            F.col("_cnt"),
+        )
+
+    per_bucket = (
+        side_explode(1, "positive_offset", "positive_bucket_counts")
+        .unionByName(side_explode(-1, "negative_offset", "negative_bucket_counts"))
+        .groupBy(*dims, "_tscale", "_sgn", "_idx")
+        .agg(F.sum("_cnt").alias("_cnt"))
+    )
+
+    def side(s: int, prefix: str):
+        this = F.col("_sgn") == s
+        return [
+            F.min(F.when(this, F.col("_idx"))).alias(f"_{prefix}off"),
+            F.max(F.when(this, F.col("_idx"))).alias(f"_{prefix}mx"),
+            F.map_from_entries(
+                F.collect_list(F.when(this, F.struct(F.col("_idx"), F.col("_cnt"))))
+            ).alias(f"_{prefix}m"),
+        ]
+
+    buckets = per_bucket.groupBy(*dims, "_tscale").agg(*side(1, "p"), *side(-1, "n"))
+    totals = dp.groupBy(*dims).agg(
+        F.sum("zero_count").alias("zero_count"),
+        F.sum("count").alias("count"),
+        F.sum("sum").alias("sum"),
+    )
+    # left join: a group whose every bucket count is zero still emits a
+    # row (empty arrays) — totals is the authoritative group list
+    assembled = totals.join(
+        buckets.drop("_tscale"), on=dims, how="left"
+    ).join(tgt, on=dims)
+
+    def dense(prefix: str):
+        off, mx, mp = (F.col(f"_{prefix}{s}") for s in ("off", "mx", "m"))
+        arr = F.transform(
+            F.sequence(off, mx),
+            lambda i: F.coalesce(F.element_at(mp, i), F.lit(0).cast("long")),
+        )
+        return F.when(off.isNotNull(), arr).otherwise(F.array().cast("array<long>"))
+
+    return assembled.select(
+        *dims,
+        F.col("_tscale").alias("scale"),
+        "zero_count",
+        F.coalesce(F.col("_poff"), F.lit(0)).alias("positive_offset"),
+        dense("p").alias("positive_bucket_counts"),
+        F.coalesce(F.col("_noff"), F.lit(0)).alias("negative_offset"),
+        dense("n").alias("negative_bucket_counts"),
+        "count",
+        "sum",
+    )
+
+
 def latency_quantiles(
     edges: DataFrame,
     dims: list[str],

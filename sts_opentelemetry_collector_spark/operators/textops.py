@@ -1221,8 +1221,10 @@ def bigram_logprob(
     (count(w_{i-1} w_i) / count(w_{i-1} ·)) — the next step up from
     unigram_logprob toward the KenLM scoring CCNet uses; repetitive/
     templated docs score near 0, high-entropy gibberish scores low.
-    No smoothing: scores are computed on the same corpus that built the
-    counts, so every bigram is seen (MLE is exact and engine-portable).
+    This is the SELF-scoring variant (corpus scores itself, every bigram
+    seen, exact MLE, no smoothing needed); for the production filter
+    shape — a reference LM scoring held-out/new ingest docs — use
+    bigram_logprob_scored (Stupid Backoff handles unseen bigrams/OOV).
     Docs with < 2 tokens have no bigrams and are omitted (no P() terms).
 
     Scale shape: ONE bigram explode feeding the bigram-count table and
@@ -1273,6 +1275,93 @@ def bigram_logprob(
             "avg_bigram_logprob"
         ),
         F.sum("m").alias("n_bigrams"),
+    )
+
+
+def bigram_logprob_scored(
+    train_docs: DataFrame,
+    score_docs: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.4,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Held-out LM quality scoring with Stupid Backoff — the actual CCNet
+    filter shape: an LM built on a REFERENCE corpus scores NEW ingest
+    batches (bigram_logprob scores the corpus against itself, where every
+    bigram is seen by construction; this operator scores disjoint docs,
+    so unseen bigrams are the normal case and need backoff).
+
+    Score per bigram instance (w1, w2), Stupid Backoff (Brants et al.,
+    EMNLP'07 — "Large Language Models in Machine Translation"):
+      S(w2|w1) = c(w1 w2) / c(w1 ·)        if the bigram was seen in train
+               = alpha * c(w2) / N          else (unigram backoff)
+               = alpha / N                  if w2 is OOV (deterministic
+                                            floor: one pseudo-count)
+    c(w1 ·) is the bigram-prefix count (consistent with the MLE in
+    bigram_logprob); N is the train token total. Output per scored doc:
+    mean ln S over bigram instances (rounded 4), n_bigrams, and
+    backoff_frac — the fraction of instances that backed off (a domain-
+    shift signal in its own right). Docs with < 2 tokens are omitted.
+
+    Scale shape: train-side tables are (bigram, count) / (token, count)
+    partial aggregates; the score side pre-aggregates to (doc, bigram,
+    multiplicity) then LEFT-joins the count tables on bigram/token keys
+    (AQE skew handles Zipf heads; at 100 TB the train tables are stored
+    dims, rebuilt only when the reference corpus changes). N is a 1-row
+    broadcast. No windows, no UDFs."""
+    from .cache import register_cache
+
+    def doc_bigrams(docs: DataFrame) -> DataFrame:
+        toks = tokens_col(text_col)
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        return (
+            docs.select("doc_id", F.explode(bigrams).alias("b"))
+            .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("m"))
+        )
+
+    train_bg = register_cache(doc_bigrams(train_docs).persist(), cache_registry)
+    pair_cnt = train_bg.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+    prefix_cnt = train_bg.groupBy("w1").agg(F.sum("m").alias("c1"))
+    train_tok = train_docs.select(F.explode(tokens_col(text_col)).alias("token"))
+    uni_cnt = train_tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    total = train_tok.agg(F.count(F.lit(1)).alias("n_total"))
+
+    scored = (
+        doc_bigrams(score_docs)
+        .join(pair_cnt, on=["w1", "w2"], how="left")
+        .join(prefix_cnt, on="w1", how="left")
+        .join(uni_cnt.withColumnRenamed("token", "w2"), on="w2", how="left")
+        .crossJoin(F.broadcast(total))
+    )
+    seen = F.col("c2").isNotNull() & F.col("c1").isNotNull()
+    lp = F.when(
+        seen, F.log(F.col("c2").cast("double") / F.col("c1"))
+    ).otherwise(
+        F.log(
+            F.lit(alpha)
+            * F.coalesce(F.col("cu"), F.lit(1)).cast("double")
+            / F.col("n_total")
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum(lp * F.col("m")) / F.sum("m"), 4).alias("avg_bigram_logprob"),
+        F.sum("m").alias("n_bigrams"),
+        F.round(
+            F.sum(F.when(~seen, F.col("m")).otherwise(F.lit(0))).cast("double")
+            / F.sum("m"),
+            4,
+        ).alias("backoff_frac"),
     )
 
 

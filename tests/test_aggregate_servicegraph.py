@@ -376,3 +376,74 @@ def test_exp_histogram_property_random_signed(spark):
             lo, hi = min(exp), max(exp)
             assert off == lo, (s, side)
             assert counts == [exp.get(i, 0) for i in range(lo, hi + 1)], (s, side)
+
+
+DP_SCHEMA = (
+    "k string, scale int, zero_count long, positive_offset int, "
+    "positive_bucket_counts array<long>, negative_offset int, "
+    "negative_bucket_counts array<long>, count long, sum long"
+)
+
+
+def _merge(spark, rows):
+    from sts_opentelemetry_collector_spark.operators.aggregate import (
+        exp_histogram_merge,
+    )
+
+    return exp_histogram_merge(
+        spark.createDataFrame(rows, DP_SCHEMA), ["k"]
+    ).collect()
+
+
+def test_exp_histogram_merge_passthrough_any_scale(spark):
+    """A single datapoint at scale 4 (beyond the exact-aggregation cap)
+    passes through byte-identically — the reference sink stores whatever
+    scale arrives (exponential_histogram_metrics.go:34-41)."""
+    row = ("g", 4, 3, 7, [1, 2, 3], -2, [4, 5], 18, 99)
+    [r] = _merge(spark, [row])
+    assert (
+        r.k, r.scale, r.zero_count, r.positive_offset,
+        r.positive_bucket_counts, r.negative_offset,
+        r.negative_bucket_counts, r["count"], r["sum"],
+    ) == row
+
+
+def test_exp_histogram_merge_downscale_fold(spark):
+    """Mixed scales merge at the group MIN: scale-2 buckets idx 4..7 all
+    fold into idx floor(k/4) = 1 at scale 0 and add to the scale-0
+    bucket already there."""
+    rows = [
+        ("g", 2, 1, 4, [1, 2, 3, 4], 0, [], 11, 50),
+        ("g", 0, 2, 1, [5], 0, [], 7, 30),
+    ]
+    [r] = _merge(spark, rows)
+    assert r.scale == 0
+    assert r.positive_offset == 1 and r.positive_bucket_counts == [15]
+    assert r.zero_count == 3 and r["count"] == 18 and r["sum"] == 80
+
+
+def test_exp_histogram_merge_negative_index_floor(spark):
+    """Sub-one buckets have NEGATIVE indices; the fold must use floor
+    division (shift semantics), not truncation: idx -5 at scale 1 lands
+    in floor(-5/2) = -3 at scale 0."""
+    rows = [
+        ("g", 1, 0, -5, [3], 0, [], 3, 1),
+        ("g", 0, 0, -3, [2], 0, [], 2, 1),
+    ]
+    [r] = _merge(spark, rows)
+    assert r.positive_offset == -3 and r.positive_bucket_counts == [5]
+
+
+def test_exp_histogram_merge_zero_buckets_pruned(spark):
+    """Zero-count source buckets must not widen the merged dense range."""
+    [r] = _merge(spark, [("g", 0, 0, -2, [0, 7, 0], 0, [], 7, 12)])
+    assert r.positive_offset == -1 and r.positive_bucket_counts == [7]
+
+
+def test_exp_histogram_merge_empty_sides(spark):
+    """A group whose datapoints carry no buckets at all still emits one
+    merged row (zero-only histogram): empty arrays, offset 0."""
+    [r] = _merge(spark, [("g", 3, 9, 0, [], 0, [], 9, 0)])
+    assert r.scale == 3 and r.zero_count == 9
+    assert r.positive_bucket_counts == [] and r.negative_bucket_counts == []
+    assert r.positive_offset == 0 and r.negative_offset == 0

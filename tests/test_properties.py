@@ -51,3 +51,45 @@ def test_parse_batch_matches_scalar(payloads):
     htmls = [f"<html><body><p>{p}</p></body></html>".encode("utf-8") for p in payloads]
     out = parse_html_batch(pd.Series(htmls))
     assert out["text"].tolist() == payloads
+
+
+def test_stupid_backoff_hand_model(spark):
+    """bigram_logprob_scored pins Stupid Backoff against a hand-computed
+    model: seen bigram -> c2/c1; unseen bigram with in-vocab w2 ->
+    alpha*cu/N; OOV w2 -> alpha*1/N; backoff_frac counts instances."""
+    import math
+
+    from sts_opentelemetry_collector_spark.operators.textops import (
+        bigram_logprob_scored,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame([(10, "a b x c")], "doc_id long, text string")
+    [r] = bigram_logprob_scored(train, score).collect()
+    # train: N=6 tokens, cu(c)=1; c2(a,b)=2, c1(a)=2
+    # score bigrams: (a,b) seen -> ln(1); (b,x) OOV w2 -> ln(0.4*1/6);
+    # (x,c) unseen prefix -> ln(0.4*1/6)
+    expected = round((0.0 + 2 * math.log(0.4 / 6)) / 3, 4)
+    assert r.avg_bigram_logprob == expected
+    assert r.n_bigrams == 3
+    assert r.backoff_frac == round(2 / 3, 4)
+
+
+def test_stupid_backoff_disjoint_split_runs_clean(spark):
+    """Held-out scoring never scores a train doc: output doc_ids are
+    exactly the scored split with >= 2 tokens."""
+    from sts_opentelemetry_collector_spark.operators.textops import (
+        bigram_logprob_scored,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} common w{i % 5} tail") for i in range(20)],
+        "doc_id long, text string",
+    )
+    train = docs.where("doc_id < 15")
+    score = docs.where("doc_id >= 15")
+    out = bigram_logprob_scored(train, score)
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == set(range(15, 20))
