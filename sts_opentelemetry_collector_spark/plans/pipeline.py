@@ -22,7 +22,6 @@ derived from the snapshot diff (R5) exactly like snapshot_manager.go:156-214.
 from __future__ import annotations
 
 import os
-import shutil
 import time
 
 import pyspark.sql.functions as F
@@ -41,16 +40,34 @@ from .lineage import Manifest, new_run_id, partition_stats, with_lineage_partiti
 from .sinks import SinkCatalog
 
 
-def _orphan_runs(spark, sinks: SinkCatalog, manifest: Manifest, sink_name: str) -> list[str]:
-    """run=<id> directories never committed to the manifest (crashed runs)."""
-    base = sinks.path(sink_name)
-    if not os.path.isdir(base):
+def _heal_unmanifested_runs(
+    spark, sinks: SinkCatalog, manifest: Manifest, sink_name: str
+) -> list[str]:
+    """Write-audit-publish heal: a run that PUBLISHED its logs commit but
+    crashed before the lineage manifest recorded it would double rows on
+    the rerun. Roll those commits back — a metadata-only undo (txlog
+    rollback removes the commit's files from the live snapshot; vacuum
+    reclaims the bytes later). Replaces the pre-r5 `shutil.rmtree` orphan
+    purge with an atomic, snapshot-isolated operation."""
+    tbl = sinks.table(sink_name)
+    if not tbl.exists():
         return []
-    on_disk = {
-        d.split("=", 1)[1] for d in os.listdir(base) if d.startswith("run=")
-    }
     committed = manifest.run_ids(spark)
-    return sorted(on_disk - committed)
+    rolled_back_ids = {
+        r.get("meta", {}).get("rolled_back") for r in tbl.commits()
+    }
+    healed = []
+    for rec in tbl.commits():
+        rid = rec.get("meta", {}).get("run_id")
+        if (
+            rec.get("op") == "append"
+            and rid is not None
+            and rid not in committed
+            and rec["version"] not in rolled_back_ids
+        ):
+            tbl.rollback(rec["version"], meta={"healed_run": rid})
+            healed.append(rid)
+    return healed
 
 
 def build_element_stream(
@@ -255,28 +272,31 @@ def run_pipeline(
         "dim_service", "dim_layer", "lineage_partition",
     ).withColumn("ds", F.to_date("warc_ts"))
     # (≙ ClickHouse logs K2 — exporter_logs.go:155-159.)
-    # Write-audit-publish resume: each run writes straight into its own
-    # run=<id> directory — NO shuffle of the full stream just to organize
-    # directories (shuffling 100 TB for layout is the classic anti-pattern).
-    # A crashed run's orphan directory (run_id absent from the manifest) is
-    # purged before the next run starts, so reruns are exactly-once at the
-    # lineage-partition level. (Iceberg: this is a snapshot commit.)
-    for orphan in _orphan_runs(spark, sinks, manifest, "otel_logs"):
-        shutil.rmtree(os.path.join(sinks.path("otel_logs"), f"run={orphan}"),
-                      ignore_errors=True)
+    # Write-audit-publish resume over the txlog sink: the run STAGES its
+    # log files (written once, invisible to every other reader), audits
+    # them (count + the whole mapping/rollup pass reads the staged
+    # files), and PUBLISHES one atomic snapshot commit tagged with the
+    # run id — no shuffle of the full stream for directory layout, no
+    # half-visible tables. A run that published but crashed before the
+    # manifest recorded it is rolled back here, metadata-only, before
+    # this run begins (heals the pre-r5 orphan-purge window atomically).
+    _heal_unmanifested_runs(spark, sinks, manifest, "otel_logs")
 
     logs_obs = Observation("otel_logs")
-    logs_run_dir = os.path.join(sinks.path("otel_logs"), f"run={run_id}")
     # snappy on the hot stream sink — same throughput-over-ratio tradeoff
     # as the reference's Kafka producer (stskafkaexporter/exporter.go:47-53);
     # the long-lived dimension/rollup tables stay zstd.
-    logs.observe(logs_obs, F.count(F.lit(1)).alias("n")).write.mode(
-        "overwrite"
-    ).option("compression", "snappy").parquet(logs_run_dir)
+    logs_pending = sinks.stage(
+        logs.observe(logs_obs, F.count(F.lit(1)).alias("n")),
+        "otel_logs",
+        partition_by=None,
+        meta={"run_id": run_id, "input_split": webtext_path},
+        compression="snappy",
+    )
     sink_counts: dict[str, int] = {"otel_logs": logs_obs.get["n"]}
     _mark("parse_and_logs_write")
 
-    logs_back = spark.read.parquet(logs_run_dir)
+    logs_back = logs_pending.read(spark)
 
     # ---- mapping engine (over the read-back: no second UDF pass).
     # Narrow projection of exactly the attr columns the mappings reference:
@@ -425,6 +445,13 @@ def run_pipeline(
     sink_counts["tombstones"] = 4 * len(removed)
     sink_counts["metadata_tombstones"] = len(removed)
     _mark("tombstones_metadata")
+
+    # ---- PUBLISH the staged logs: one atomic commit makes this run's
+    # rows visible; everything before this point was audit. The crash
+    # window between publish and the manifest record at the end of the
+    # run is healed (rolled back) at the next run's start.
+    logs_pending.publish()
+    _mark("logs_publish")
 
     # ---- windowed telemetry rollup (host, warc_ts bucket), salted for skew.
     # Recomputed from the logs sink (all completed partitions), overwritten:

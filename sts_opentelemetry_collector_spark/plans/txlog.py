@@ -1,0 +1,365 @@
+"""Snapshot-commit transaction log: a minimal lakehouse table format.
+
+The reference's sinks are real storage engines — ClickHouse
+ReplacingMergeTree upserts (exporter/clickhousestsexporter/
+exporter_resources.go:141-144) and Kafka topics with tombstone deletes
+(exporter/stskafkaexporter/exporter.go:257-269) — and the blueprint
+targets Iceberg `MERGE INTO` / snapshot commits (SURVEY §2.1). This
+container ships no JVM table-format runtime, so this module implements
+the essential mechanism itself, following the published Delta/Iceberg
+design (Armbrust et al., "Delta Lake: High-Performance ACID Table
+Storage over Cloud Object Stores", VLDB 2020): an ordered log of
+atomic commit files is the single source of truth; data files are
+immutable and only ever *referenced* by the log.
+
+Layout (everything under one table root):
+
+    <root>/_txlog/00000000000000000001.json   ordered commit files
+    <root>/<part>=<val>/.../<uuid>-part-*.parquet   immutable data files
+
+Commit file: {"op", "meta", "schema", "add": [relpaths], "remove":
+[relpaths]}. The live file set is the log replay: fold add/remove in
+version order. Readers load exactly the live files (hive-style
+partition columns recovered via basePath), so they NEVER see
+in-flight writes — snapshot isolation without locks.
+
+Guarantees (and how):
+- **Atomic commit**: the commit file is staged to a temp name and
+  claimed with os.link(tmp, final) — POSIX link(2) fails with EEXIST
+  if the version is taken, so exactly one writer wins a version;
+  losers re-read the log and retry (optimistic concurrency).
+- **Write-audit-publish**: `stage()` writes data files into the table
+  WITHOUT a commit; the staged frame is readable by the writer (it
+  knows the file list) for auditing, and `publish()` makes it visible
+  to everyone else. A crash before publish leaves invisible files,
+  reclaimed by `vacuum()` — no recovery dance, no aside directories.
+- **MERGE**: `merge_upsert()` rewrites only the `_bucket` partitions
+  its keys touch and commits {remove old bucket files, add new} in ONE
+  commit — the dynamic-partition-overwrite MERGE INTO shape. Readers
+  replaying the log pre-commit see the old buckets, post-commit the
+  new — never a mix.
+- **Rollback**: `rollback(version)` appends a commit removing exactly
+  the files `version` added — a metadata-only undo (the write-audit-
+  publish heal for runs that committed data but crashed before the
+  lineage manifest recorded them).
+
+At 100 TB the log lists file names, not data — the same driver-side
+scale as Delta/Iceberg metadata; checkpoints of the replayed state
+(Delta's _last_checkpoint) are the known growth path and out of scope
+at this log size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_txlog"
+_VERSION_DIGITS = 20
+
+
+class CommitConflict(RuntimeError):
+    """Another writer claimed the commit version first."""
+
+
+class PendingCommit:
+    """Staged-but-unpublished data files (the write-audit half of WAP)."""
+
+    def __init__(self, table: "TxLogTable", op: str, files: list[str],
+                 schema_json: str, meta: dict | None):
+        self.table = table
+        self.op = op
+        self.files = files
+        self.schema_json = schema_json
+        self.meta = meta or {}
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Audit view: exactly this staged write's rows (plus partition
+        columns), visible only to the holder of this object."""
+        return self.table._read_files(spark, self.files, self.schema_json)
+
+    def publish(self, remove: list[str] | None = None) -> int:
+        """Make the staged files visible atomically; returns the commit
+        version. `remove` additionally drops live files (overwrite /
+        merge shapes)."""
+        return self.table._commit(
+            self.op, add=self.files, remove=remove or [],
+            schema_json=self.schema_json, meta=self.meta,
+        )
+
+
+class TxLogTable:
+    def __init__(self, root: str):
+        self.root = root
+
+    # ---- log plumbing -------------------------------------------------
+
+    def _log_dir(self) -> str:
+        return os.path.join(self.root, _LOG_DIR)
+
+    def _commit_path(self, version: int) -> str:
+        return os.path.join(self._log_dir(), f"{version:0{_VERSION_DIGITS}d}.json")
+
+    def versions(self) -> list[int]:
+        d = self._log_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[:-5]) for f in os.listdir(d)
+            if f.endswith(".json") and f[:-5].isdigit()
+        )
+
+    def commits(self) -> list[dict]:
+        """All commit records in version order (each with a `version` key)."""
+        out = []
+        for v in self.versions():
+            with open(self._commit_path(v)) as f:
+                rec = json.load(f)
+            rec["version"] = v
+            out.append(rec)
+        return out
+
+    def snapshot(self, at_version: int | None = None) -> tuple[list[str], str | None]:
+        """Replay the log: (live relpaths in first-added order, latest
+        schema json). `at_version` gives time travel."""
+        live: dict[str, None] = {}
+        schema = None
+        for rec in self.commits():
+            if at_version is not None and rec["version"] > at_version:
+                break
+            for p in rec.get("remove", []):
+                live.pop(p, None)
+            for p in rec.get("add", []):
+                live[p] = None
+            schema = rec.get("schema") or schema
+        return list(live), schema
+
+    def _commit(self, op: str, add: list[str], remove: list[str],
+                schema_json: str | None, meta: dict, retries: int = 20) -> int:
+        rec = {
+            "op": op,
+            "ts": time.time(),
+            "add": add,
+            "remove": remove,
+            "schema": schema_json,
+            "meta": meta,
+        }
+        os.makedirs(self._log_dir(), exist_ok=True)
+        tmp = os.path.join(self._log_dir(), f"_tmp_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            for _ in range(retries):
+                version = (self.versions() or [0])[-1] + 1
+                try:
+                    os.link(tmp, self._commit_path(version))  # atomic claim
+                    return version
+                except FileExistsError:
+                    continue  # lost the race — rebase on the new tip
+            raise CommitConflict(
+                f"could not claim a commit version after {retries} attempts"
+            )
+        finally:
+            os.unlink(tmp)
+
+    # ---- write paths --------------------------------------------------
+
+    def stage(self, df: DataFrame, partition_by: list[str] | None = None,
+              op: str = "append", meta: dict | None = None,
+              compression: str | None = None) -> PendingCommit:
+        """Write data files into the table WITHOUT publishing them.
+
+        Spark writes to a scratch dir; files are then renamed into the
+        table root under their hive partition dirs with a unique prefix
+        (immutable, collision-free). Rename is metadata-only on the same
+        filesystem — no data copy."""
+        scratch = os.path.join(self.root, f"_stage_{uuid.uuid4().hex[:12]}")
+        w = df.write.mode("overwrite")
+        if compression:
+            w = w.option("compression", compression)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(scratch)
+
+        prefix = uuid.uuid4().hex[:12]
+        files: list[str] = []
+        for dirpath, _dirs, names in os.walk(scratch):
+            rel_dir = os.path.relpath(dirpath, scratch)
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue  # _SUCCESS / .crc markers stay behind
+                dest_dir = (
+                    self.root if rel_dir == "." else os.path.join(self.root, rel_dir)
+                )
+                os.makedirs(dest_dir, exist_ok=True)
+                dest_name = f"{prefix}-{name}"
+                os.rename(
+                    os.path.join(dirpath, name), os.path.join(dest_dir, dest_name)
+                )
+                rel = (
+                    dest_name if rel_dir == "." else os.path.join(rel_dir, dest_name)
+                )
+                files.append(rel)
+        import shutil as _shutil
+
+        _shutil.rmtree(scratch, ignore_errors=True)
+        return PendingCommit(self, op, sorted(files), df.schema.json(), meta)
+
+    def append(self, df: DataFrame, partition_by: list[str] | None = None,
+               meta: dict | None = None, compression: str | None = None) -> int:
+        return self.stage(
+            df, partition_by, op="append", meta=meta, compression=compression
+        ).publish()
+
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None,
+                  meta: dict | None = None) -> int:
+        live, _ = self.snapshot()
+        return self.stage(df, partition_by, op="overwrite", meta=meta).publish(
+            remove=live
+        )
+
+    def overwrite_partition(self, df: DataFrame, partition_dir: str,
+                            meta: dict | None = None) -> int:
+        """Replace exactly the live files under one hive partition dir
+        (e.g. 'version=7') — idempotent re-apply of a versioned write."""
+        pref = partition_dir.rstrip("/") + os.sep
+        live, _ = self.snapshot()
+        doomed = [p for p in live if p.startswith(pref)]
+        staged = self.stage(df, partition_by=None, op="overwrite_partition",
+                            meta=meta)
+        # relocate staged files into the partition dir (stage wrote them
+        # at the root — cheaper than re-deriving a partitioned frame)
+        moved = []
+        os.makedirs(os.path.join(self.root, partition_dir), exist_ok=True)
+        for rel in staged.files:
+            dst_rel = os.path.join(partition_dir, os.path.basename(rel))
+            os.rename(
+                os.path.join(self.root, rel), os.path.join(self.root, dst_rel)
+            )
+            moved.append(dst_rel)
+        staged.files = sorted(moved)
+        return staged.publish(remove=doomed)
+
+    def rollback(self, version: int, meta: dict | None = None) -> int:
+        """Append a commit that removes exactly what `version` added —
+        the metadata-only undo used by the write-audit-publish heal."""
+        target = next((r for r in self.commits() if r["version"] == version), None)
+        if target is None:
+            raise ValueError(f"no commit {version}")
+        return self._commit(
+            "rollback", add=[], remove=target.get("add", []),
+            schema_json=None, meta={**(meta or {}), "rolled_back": version},
+        )
+
+    # ---- read paths ---------------------------------------------------
+
+    def _read_files(self, spark: SparkSession, files: list[str],
+                    schema_json: str | None) -> DataFrame:
+        if not files:
+            if schema_json is None:
+                raise FileNotFoundError(f"empty txlog table {self.root}")
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
+        paths = [os.path.join(self.root, p) for p in files]
+        # basePath recovers hive partition columns from the dir names
+        return spark.read.option("basePath", self.root).parquet(*paths)
+
+    def read(self, spark: SparkSession, at_version: int | None = None) -> DataFrame:
+        files, schema = self.snapshot(at_version)
+        return self._read_files(spark, files, schema)
+
+    def exists(self) -> bool:
+        files, schema = self.snapshot()
+        return bool(files) or schema is not None
+
+    # ---- merge + maintenance -----------------------------------------
+
+    def merge_upsert(self, df: DataFrame, keys: list[str],
+                     order_col: str | None = None, n_buckets: int = 16) -> int:
+        """Last-writer-wins MERGE INTO keyed `keys` (the ClickHouse
+        ReplacingMergeTree / Iceberg MERGE analog, K4).
+
+        Layout: rows hash into `_bucket = xxhash64(keys) % n_buckets`
+        hive partitions. The merge reads ONLY the buckets the incoming
+        keys touch (partition-pruned scan), resolves the winner per key
+        with a max_by(struct) HASH AGGREGATE — no row_number window, no
+        per-key sort shuffle — and publishes {remove touched-bucket
+        files, add rewritten files} as one atomic commit. Untouched
+        buckets' files are never rewritten (byte-identical)."""
+        spark = df.sparkSession
+        bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
+            "int"
+        )
+        new = df.withColumn("_bucket", bucket).withColumn("_gen", F.lit(1))
+
+        live, schema = self.snapshot()
+        if live:
+            # bounded driver-side collect: <= n_buckets values
+            touched = sorted(
+                r["_bucket"] for r in new.select("_bucket").distinct().collect()
+            )
+            pref = {f"_bucket={b}{os.sep}" for b in touched}
+            doomed = [p for p in live if any(p.startswith(x) for x in pref)]
+            existing = (
+                self._read_files(spark, doomed, schema)
+                .withColumn("_gen", F.lit(0))
+                if doomed
+                else None
+            )
+            merged = (
+                existing.unionByName(new) if existing is not None else new
+            )
+        else:
+            doomed = []
+            merged = new
+
+        value_cols = [c for c in merged.columns if c not in ("_gen",)]
+        order = [F.col("_gen")] + ([F.col(order_col)] if order_col else [])
+        winner = merged.groupBy(*keys).agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in value_cols]), F.struct(*order)
+            ).alias("_w")
+        )
+        latest = winner.select(
+            *[F.col(f"_w.{c}").alias(c) for c in value_cols]
+        )
+        staged = self.stage(latest, partition_by=["_bucket"], op="merge")
+        return staged.publish(remove=doomed)
+
+    def vacuum(self, retain_seconds: float = 0.0) -> list[str]:
+        """Delete data files invisible to the CURRENT snapshot and older
+        than `retain_seconds` (crashed stages, superseded merge/overwrite
+        files, rolled-back commits). Never touches the log itself."""
+        live = set(self.snapshot()[0])
+        now = time.time()
+        removed = []
+        for dirpath, _dirs, names in os.walk(self.root):
+            if _LOG_DIR in dirpath.split(os.sep):
+                continue
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.root)
+                if rel in live:
+                    continue
+                if now - os.path.getmtime(full) >= retain_seconds:
+                    os.unlink(full)
+                    removed.append(rel)
+        # prune now-empty partition dirs (cosmetic)
+        for dirpath, dirs, names in os.walk(self.root, topdown=False):
+            if dirpath != self.root and not dirs and not names:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+        return removed

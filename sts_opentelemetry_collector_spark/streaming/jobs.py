@@ -311,16 +311,19 @@ def run_settings_stream(
             sinks.overwrite(stream_metadata(spark, ms), "stream_metadata",
                             partition_by=None)
             if removed:
-                # version-scoped overwrite => re-applying the same snapshot
-                # after a crash (sink landed, last_snapshot.json did not)
-                # is idempotent, never doubling tombstone rows
+                # version-scoped partition overwrite => re-applying the
+                # same snapshot after a crash (sink landed,
+                # last_snapshot.json did not) is idempotent, never
+                # doubling tombstone rows — one atomic txlog commit per
+                # version partition
                 vdir = f"version={ms.version}"
-                removal_tombstones(spark, removed).write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(sinks.path("tombstones"), vdir))
-                metadata_tombstones(spark, removed).write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(sinks.path("metadata_tombstones"), vdir))
+                sinks.overwrite_partition(
+                    removal_tombstones(spark, removed), "tombstones", vdir
+                )
+                sinks.overwrite_partition(
+                    metadata_tombstones(spark, removed), "metadata_tombstones",
+                    vdir,
+                )
                 state["removed"] += len(removed)
             state["prev"] = ms
             state["applied"] += 1

@@ -120,23 +120,35 @@ def test_incremental_second_batch(spark, webtext_dir, tmp_path):
     assert run_pipeline(spark, wt2, out, n_lineage_buckets=4).get("skipped") is True
 
 
-def test_crashed_run_orphans_purged(spark, webtext_dir, tmp_path):
-    """A run dir with no manifest entry (crashed mid-run) must be purged on
-    the next run — exactly-once at the lineage-partition level."""
+def test_crashed_run_orphans_healed(spark, webtext_dir, tmp_path):
+    """Both txlog crash shapes heal to exactly-once at the lineage-
+    partition level: (A) a run that STAGED log files but crashed before
+    publish leaves them invisible (vacuum reclaims); (B) a run that
+    PUBLISHED its commit but crashed before the manifest recorded it is
+    rolled back — metadata-only — at the next run's start."""
     import pyspark.sql.functions as F_
 
     out = str(tmp_path / "crash")
     wt = _webtext_path(webtext_dir)
-    # simulate a crashed first run: data landed, manifest never written
-    orphan_dir = os.path.join(out, "sinks", "otel_logs", "run=deadbeef0000")
-    spark.read.parquet(wt).limit(50).select(
+    sinks = SinkCatalog(os.path.join(out, "sinks"))
+    crashed = spark.read.parquet(wt).limit(50).select(
         "url", "warc_ts", F_.lit(0).alias("lineage_partition")
-    ).write.parquet(orphan_dir)
+    )
+    # crash shape A: staged, never published
+    staged = sinks.stage(crashed, "otel_logs")
+    # crash shape B: published, but its run_id never reached the manifest
+    sinks.append(crashed, "otel_logs",
+                 meta={"run_id": "deadbeef0000", "input_split": wt})
 
     summary = run_pipeline(spark, wt, out, n_lineage_buckets=4)
-    assert not os.path.exists(orphan_dir)
-    sinks = SinkCatalog(os.path.join(out, "sinks"))
     assert sinks.read(spark, "otel_logs").count() == summary["rows"] == 2000
+    healed = [c for c in sinks.commits("otel_logs")
+              if c.get("meta", {}).get("healed_run") == "deadbeef0000"]
+    assert len(healed) == 1
+    # the dead bytes (staged orphans + rolled-back commit) are vacuumable
+    removed = set(sinks.vacuum("otel_logs", retain_seconds=0.0))
+    assert set(staged.files) <= removed
+    assert sinks.read(spark, "otel_logs").count() == 2000
 
 
 def test_tombstones_on_mapping_removal(spark, webtext_dir, tmp_path):

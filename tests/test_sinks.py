@@ -1,8 +1,17 @@
-"""Sink catalog: keyed upsert (ReplacingMergeTree/MERGE analog, K4)."""
+"""Sink layer: snapshot-commit transaction log (plans/txlog.py) — atomic
+append/overwrite, partition-pruned MERGE upsert (ReplacingMergeTree /
+Iceberg MERGE INTO analog, K4), write-audit-publish staging, snapshot
+isolation, rollback heal, vacuum, and optimistic commit claiming."""
 
 from __future__ import annotations
 
+import json
+import os
+
+import pytest
+
 from sts_opentelemetry_collector_spark.plans.sinks import SinkCatalog
+from sts_opentelemetry_collector_spark.plans.txlog import TxLogTable
 
 
 def test_upsert_last_writer_wins(spark, tmp_path):
@@ -27,97 +36,163 @@ def test_upsert_last_writer_wins(spark, tmp_path):
 
 
 def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
-    """An upsert must leave untouched buckets' files byte-identical
-    (mtime + contents) — the dynamic-partition-overwrite contract."""
-    import os
+    """A MERGE must leave untouched buckets' live files byte-identical
+    (same paths, mtime, size) — the partition-pruned MERGE INTO
+    contract."""
     import time
+
+    import pyspark.sql.functions as F
 
     cat = SinkCatalog(str(tmp_path))
     base = spark.createDataFrame(
         [(i, f"n{i}", i * 10) for i in range(64)], "id long, name string, v long"
     )
     cat.upsert(base, "dim", keys=["id"], order_col="v", n_buckets=8)
-
-    root = cat.path("dim")
+    tbl = cat.table("dim")
     before = {}
-    for d in os.listdir(root):
-        if d.startswith("_bucket="):
-            for f in os.listdir(os.path.join(root, d)):
-                p = os.path.join(root, d, f)
-                before[p] = (os.path.getmtime(p), os.path.getsize(p))
+    for rel in tbl.snapshot()[0]:
+        p = os.path.join(tbl.root, rel)
+        before[rel] = (os.path.getmtime(p), os.path.getsize(p))
 
     time.sleep(0.05)
     single = spark.createDataFrame([(3, "updated", 999)], "id long, name string, v long")
     cat.upsert(single, "dim", keys=["id"], order_col="v", n_buckets=8)
 
-    # exactly one bucket dir rewritten; all others byte-untouched
-    import pyspark.sql.functions as F
-
     touched_bucket = single.select(
         F.pmod(F.xxhash64("id"), F.lit(8)).cast("int").alias("b")
     ).collect()[0].b
-    untouched_still_there = 0
-    for p, (mt, sz) in before.items():
-        if f"_bucket={touched_bucket}/" in p or p.endswith(f"_bucket={touched_bucket}"):
+    after = set(tbl.snapshot()[0])
+    untouched_still_live = 0
+    for rel, (mt, sz) in before.items():
+        if rel.startswith(f"_bucket={touched_bucket}{os.sep}"):
+            assert rel not in after  # superseded by the rewrite
             continue
-        assert os.path.exists(p), f"untouched file vanished: {p}"
-        assert os.path.getmtime(p) == mt and os.path.getsize(p) == sz, (
-            f"untouched file modified: {p}"
-        )
-        untouched_still_there += 1
-    assert untouched_still_there > 0
+        assert rel in after, f"untouched file dropped from snapshot: {rel}"
+        p = os.path.join(tbl.root, rel)
+        assert os.path.getmtime(p) == mt and os.path.getsize(p) == sz
+        untouched_still_live += 1
+    assert untouched_still_live > 0
 
     got = {r.id: (r.name, r.v) for r in cat.read(spark, "dim").collect()}
     assert got[3] == ("updated", 999)
     assert len(got) == 64
 
 
-def test_upsert_crash_recovery_and_legacy_migration(spark, tmp_path):
-    """Crash-matrix healing: a bucket stranded aside mid-swap is restored;
-    a leftover aside after commit is purged; a legacy (unbucketed) table
-    migrates via full staged rewrite instead of erroring."""
-    import os
-    import shutil
-
+def test_stage_is_invisible_until_publish(spark, tmp_path):
+    """Write-audit-publish: staged files are readable by the holder but
+    invisible to catalog readers until publish; a crash before publish
+    (simulated by dropping the pending commit) leaves the table
+    unchanged and vacuum reclaims the bytes."""
     cat = SinkCatalog(str(tmp_path))
-    base = spark.createDataFrame(
-        [(i, f"n{i}", i) for i in range(32)], "id long, name string, v long"
-    )
-    cat.upsert(base, "dim", keys=["id"], order_col="v", n_buckets=4)
-    root = cat.path("dim")
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    cat.append(df, "t")
+    assert cat.read(spark, "t").count() == 1
 
-    # simulate crash between rename-aside and move-in for bucket 2
-    bdir = os.path.join(root, "_bucket=2")
-    aside = f"{root}__aside_bucket_2"
-    os.rename(bdir, aside)
-    assert not os.path.exists(bdir)
-    cat.upsert(
-        spark.createDataFrame([(0, "upd", 99)], "id long, name string, v long"),
-        "dim", keys=["id"], order_col="v", n_buckets=4,
+    staged = cat.stage(
+        spark.createDataFrame([(2, "y"), (3, "z")], "id long, s string"), "t"
     )
-    assert os.path.exists(bdir) and not os.path.exists(aside)  # healed
-    got = {r.id: r.v for r in cat.read(spark, "dim").collect()}
-    assert len(got) == 32 and got[0] == 99  # nothing lost, update applied
+    assert staged.read(spark).count() == 2  # holder audit view
+    assert cat.read(spark, "t").count() == 1  # still invisible
 
-    # simulate crash AFTER move-in (stale aside) + stale staging
-    os.makedirs(f"{root}__aside_bucket_1/x", exist_ok=True)
-    os.makedirs(f"{root}__stage_deadbeef/x", exist_ok=True)
-    cat.upsert(
-        spark.createDataFrame([(1, "u2", 100)], "id long, name string, v long"),
-        "dim", keys=["id"], order_col="v", n_buckets=4,
-    )
-    assert not os.path.exists(f"{root}__aside_bucket_1")
-    assert not os.path.exists(f"{root}__stage_deadbeef")
-    assert cat.read(spark, "dim").count() == 32
+    # crashed run: pending never published; files exist but are dead
+    dead = [os.path.join(cat.path("t"), f) for f in staged.files]
+    assert all(os.path.exists(p) for p in dead)
+    removed = cat.vacuum("t", retain_seconds=0.0)
+    assert sorted(removed) == sorted(staged.files)
+    assert cat.read(spark, "t").count() == 1
 
-    # legacy unbucketed layout migrates cleanly
-    legacy = spark.createDataFrame(
-        [(i, f"L{i}", i) for i in range(10)], "id long, name string, v long"
+    # a fresh stage published normally becomes visible atomically
+    staged2 = cat.stage(spark.createDataFrame([(4, "w")], "id long, s string"), "t")
+    staged2.publish()
+    assert cat.read(spark, "t").count() == 2
+
+
+def test_snapshot_isolation_and_time_travel(spark, tmp_path):
+    """A reader pinned to an earlier version sees the pre-merge snapshot
+    even after an overwrite commits — and never a mix."""
+    tbl = TxLogTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(1, 10)], "id long, v long"))
+    v1 = tbl.versions()[-1]
+    tbl.overwrite(spark.createDataFrame([(1, 99), (2, 20)], "id long, v long"))
+    assert {r.v for r in tbl.read(spark).collect()} == {99, 20}
+    assert {r.v for r in tbl.read(spark, at_version=v1).collect()} == {10}
+
+
+def test_rollback_is_metadata_only_undo(spark, tmp_path):
+    tbl = TxLogTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(1,)], "id long"), meta={"run_id": "a"})
+    v2 = tbl.append(spark.createDataFrame([(2,)], "id long"), meta={"run_id": "b"})
+    assert tbl.read(spark).count() == 2
+    tbl.rollback(v2)
+    assert {r.id for r in tbl.read(spark).collect()} == {1}
+    # the rolled-back commit's files still exist until vacuum
+    assert len(tbl.vacuum(0.0)) >= 1
+    assert {r.id for r in tbl.read(spark).collect()} == {1}
+
+
+def test_commit_claim_is_exclusive(spark, tmp_path):
+    """os.link claiming: a version already taken forces a rebase onto the
+    next version — two sequential writers never overwrite each other's
+    commit files."""
+    tbl = TxLogTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(1,)], "id long"))
+    # squat the next version with a foreign commit file
+    squatted = tbl._commit_path(2)
+    with open(squatted, "w") as f:
+        json.dump({"op": "append", "add": [], "remove": [], "schema": None,
+                   "meta": {"foreign": True}}, f)
+    tbl.append(spark.createDataFrame([(2,)], "id long"))
+    assert tbl.versions() == [1, 2, 3]
+    with open(squatted) as f:
+        assert json.load(f)["meta"] == {"foreign": True}  # untouched
+    assert tbl.read(spark).count() == 2
+
+
+def test_empty_table_reads_with_schema(spark, tmp_path):
+    tbl = TxLogTable(str(tmp_path / "t"))
+    empty = spark.createDataFrame([], "id long, s string")
+    tbl.append(empty)
+    got = tbl.read(spark)
+    assert got.count() == 0 and set(got.columns) == {"id", "s"}
+    assert tbl.exists()
+
+
+def test_overwrite_partition_idempotent(spark, tmp_path):
+    """Versioned partition overwrite: re-applying the same version never
+    doubles rows; other versions' files stay live."""
+    cat = SinkCatalog(str(tmp_path))
+    df1 = spark.createDataFrame([(1,), (2,)], "id long")
+    cat.overwrite_partition(df1, "tomb", "version=1")
+    cat.overwrite_partition(spark.createDataFrame([(3,)], "id long"), "tomb",
+                            "version=2")
+    assert cat.read(spark, "tomb").count() == 3
+    cat.overwrite_partition(df1, "tomb", "version=1")  # re-apply
+    got = cat.read(spark, "tomb")
+    assert got.count() == 3
+    assert {r.version for r in got.select("version").distinct().collect()} == {1, 2}
+
+
+def test_append_read_roundtrip_with_partitions(spark, tmp_path):
+    cat = SinkCatalog(str(tmp_path))
+    df = spark.createDataFrame(
+        [("a", 0, 1), ("a", 1, 2), ("b", 0, 3)], "data_source string, shard_id int, x long"
     )
-    legacy.write.mode("overwrite").parquet(cat.path("old_dim"))
-    cat.upsert(
-        spark.createDataFrame([(3, "new", 50)], "id long, name string, v long"),
-        "old_dim", keys=["id"], order_col="v", n_buckets=4,
-    )
-    got = {r.id: (r.name, r.v) for r in cat.read(spark, "old_dim").collect()}
-    assert len(got) == 10 and got[3] == ("new", 50)
+    cat.append(df, "elements", partition_by=["data_source", "shard_id"])
+    back = cat.read(spark, "elements")
+    assert back.count() == 3
+    assert {tuple(r) for r in back.select("data_source", "shard_id", "x").collect()} \
+        == {("a", 0, 1), ("a", 1, 2), ("b", 0, 3)}
+
+
+def test_upsert_plans_without_window(spark, tmp_path):
+    """The MERGE winner resolution must be a hash aggregate (max_by),
+    not a row_number window (VERDICT r4: row_number-MERGE emulation
+    deleted)."""
+    import inspect
+
+    from sts_opentelemetry_collector_spark.plans import txlog
+
+    src = inspect.getsource(txlog)
+    assert "F.row_number" not in src and "Window.partitionBy" not in src
+    assert "import Window" not in src
+    assert "max_by" in src
