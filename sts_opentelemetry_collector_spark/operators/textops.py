@@ -410,9 +410,15 @@ def connected_components(
     is pytest-pinned, including a long-path graph where propagation's
     round count is O(n).
 
-    Both raise RuntimeError if max_iters rounds pass without a fixpoint —
-    a silently-partial labeling would emit wrong group_rep values
-    downstream (ADVICE r3).
+    algorithm="auto": run propagation with a small round budget
+    (near-dup graphs are near-cliques, diameter 2-4) and FALL BACK to
+    star when the budget is exhausted — adaptive-strategy selection, so
+    an unexpectedly chained graph degrades to the provably-bounded
+    algorithm instead of raising.
+
+    Explicit propagation/star raise RuntimeError if max_iters rounds
+    pass without a fixpoint — a silently-partial labeling would emit
+    wrong group_rep values downstream (ADVICE r3).
 
     Checkpoint hygiene: each round's localCheckpoint blocks are freed as
     soon as the next round's checkpoint supersedes them (they are dead —
@@ -436,11 +442,31 @@ def connected_components(
         return _cc_two_phase_star(
             edges, max_iters=max_iters, cache_registry=cache_registry
         )
+    if algorithm == "auto":
+        # propagation budget: 6 rounds covers diameter-<=6 components —
+        # generous for near-dup near-cliques; a chained graph exhausts
+        # it and falls back to the O(log² n)-round algorithm
+        try:
+            return _cc_propagation(
+                edges, max_iters=min(6, max_iters), cache_registry=cache_registry
+            )
+        except RuntimeError:
+            return _cc_two_phase_star(
+                edges, max_iters=max_iters, cache_registry=cache_registry
+            )
     if algorithm != "propagation":
-        raise ValueError("algorithm in ('propagation', 'star')")
+        raise ValueError("algorithm in ('propagation', 'star', 'auto')")
+    return _cc_propagation(edges, max_iters=max_iters, cache_registry=cache_registry)
+
+
+def _cc_propagation(
+    edges_sym: DataFrame,
+    max_iters: int = 20,
+    cache_registry: list | None = None,
+) -> DataFrame:
     from .cache import CheckpointHandle, register_cache
 
-    edges = edges.persist()
+    edges = edges_sym.persist()
     # localCheckpoint INSIDE iterative loops, not persist: each round's
     # plan references the previous round's twice (labels ⋈ neigh_min),
     # so without lineage truncation the logical tree DOUBLES per round
@@ -489,16 +515,17 @@ def connected_components(
             converged = True
             break
     edges.unpersist()
+    if not converged:
+        prev.free()  # partial labels are garbage — drop their blocks now
+        raise RuntimeError(
+            f"connected_components(propagation) did not converge in {max_iters} "
+            "rounds (component diameter exceeds max_iters) — partial labels "
+            "would be WRONG; raise max_iters or use algorithm='star'/'auto'"
+        )
     # the final round's blocks back the returned frame: deferred release
     # (register the handle of the CHECKPOINTED frame itself — labels is a
     # projection over it, whose analyzed plan is not the LogicalRDD)
     register_cache(prev, cache_registry)
-    if not converged:
-        raise RuntimeError(
-            f"connected_components(propagation) did not converge in {max_iters} "
-            "rounds (component diameter exceeds max_iters) — partial labels "
-            "would be WRONG; raise max_iters or use algorithm='star'"
-        )
     return labels.select("doc_id", F.col("label").alias("group_rep"))
 
 
@@ -589,6 +616,7 @@ def _cc_two_phase_star(
             converged = True
             break
     if not converged:
+        prev.free()  # partial contraction is garbage — drop its blocks now
         raise RuntimeError(
             f"connected_components(star) did not converge in {max_iters} rounds "
             "— raise max_iters (O(log² n) rounds suffice for any graph)"

@@ -476,6 +476,28 @@ def test_connected_components_star_long_path(spark):
         connected_components(pairs, algorithm="propagation", max_iters=10).collect()
 
 
+def test_connected_components_auto_fallback(spark):
+    """algorithm='auto': a shallow near-clique graph converges inside the
+    propagation budget; a 60-vertex path exhausts it and silently falls
+    back to star — correct labels either way, never a raise."""
+    from sts_opentelemetry_collector_spark.operators.textops import (
+        connected_components,
+    )
+
+    clique = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.group_rep
+           for r in connected_components(clique, algorithm="auto").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    path = [(i + 1, i) for i in range(1, 60)]
+    pairs = spark.createDataFrame(path, "doc_a long, doc_b long")
+    got = {r.doc_id: r.group_rep
+           for r in connected_components(pairs, algorithm="auto").collect()}
+    assert got == {v: 1 for v in range(1, 61)}
+
+
 def test_top_token_count_single_pass_equals_naive(spark):
     """Property pin for VERDICT r3 #3: the sorted-run-length fold equals
     the naive O(u·n) per-distinct-token count on every shape that
