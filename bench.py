@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "dedup_apply_best",
     "source_quality_rollup",
     "bigram_logprob",
+    "k5_exp_histogram_passthrough",
+    "bigram_backoff_scored",
 ]
 
 
@@ -165,6 +167,8 @@ def main() -> None:
     # ---- operator queries: all queries once, then again; per-query min.
     # (Whole-suite passes, not back-to-back per query: a throttle burst
     # spanning both back-to-back runs of one query would survive a min.)
+    from sts_opentelemetry_collector_spark.operators.cache import release_caches
+
     for _ in range(attempts):
         for name in BENCH_QUERIES:
             fn = entry_queries.QUERIES[name]
@@ -173,6 +177,10 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
+            # cache lifecycle: release each query's registered index
+            # frames/checkpoints so the suite's storage footprint stays
+            # flat (the long-lived-service pattern, cache.py)
+            release_caches()
 
     total = round(sum(timings.values()), 3)
     print(
