@@ -213,6 +213,43 @@ def publish_element_stream(
     return counts
 
 
+def upsert_resources(
+    spark: SparkSession,
+    sinks: SinkCatalog,
+    logs: DataFrame,
+    sink_name: str = "otel_resources",
+) -> int:
+    """K4: the resources dimension — content-addressed resource rows
+    MERGEd into the ReplacingMergeTree-analog dim
+    (exporter_resources.go:32-46 content hash, :141-144 ReplacingMergeTree
+    ORDER BY (ResourceRef, ts)) via the txlog partition-pruned upsert:
+    re-observed resources refresh their row, new ones insert, untouched
+    buckets' files stay byte-identical. Shared by the batch pipeline and
+    the streaming twin so the resource-identity semantics cannot drift.
+
+    Scale shape: distinct on the 4 resource attr columns FIRST (map-side
+    partial agg collapses the page-scale stream to dimension scale)
+    before the map build + content hash; the MERGE then touches only the
+    buckets this batch's refs hash into. Returns the dim's committed
+    row count."""
+    from ..operators.exporters import resources_table
+
+    rec = (
+        logs.select("host", "service", "cluster", "namespace")
+        .distinct()
+        .select(
+            F.create_map(
+                F.lit("host"), F.col("host"),
+                F.lit("service"), F.col("service"),
+                F.lit("cluster"), F.col("cluster"),
+                F.lit("namespace"), F.col("namespace"),
+            ).alias("attrs")
+        )
+    )
+    sinks.upsert(resources_table(rec), sink_name, keys=["resource_ref"])
+    return sinks.read(spark, sink_name).count()
+
+
 def run_pipeline(
     spark: SparkSession,
     webtext_path: str,
@@ -452,6 +489,11 @@ def run_pipeline(
     # run is healed (rolled back) at the next run's start.
     logs_pending.publish()
     _mark("logs_publish")
+
+    # ---- K4: resources dim MERGE (content-addressed upsert) off this
+    # run's landed logs — the real ReplacingMergeTree/MERGE INTO path
+    sink_counts["otel_resources"] = upsert_resources(spark, sinks, logs_back)
+    _mark("resources_upsert")
 
     # ---- windowed telemetry rollup (host, warc_ts bucket), salted for skew.
     # Recomputed from the logs sink (all completed partitions), overwritten:

@@ -204,6 +204,13 @@ def run_pipeline_streaming(
     q.awaitTermination()
 
     sink_counts = {"otel_logs": sinks.read(spark, "otel_logs_stream").count()}
+    # K4 resources dim MERGE off the landed log store — shared helper
+    # with the batch flagship (resource identity cannot drift)
+    from ..plans.pipeline import upsert_resources
+
+    sink_counts["otel_resources"] = upsert_resources(
+        spark, sinks, sinks.read(spark, "otel_logs_stream")
+    )
     if sinks.exists("topology_elements_stream"):
         el = sinks.read(spark, "topology_elements_stream")
         distinct = el.select(

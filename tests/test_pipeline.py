@@ -41,6 +41,17 @@ def test_full_run_counts(spark, webtext_dir, tmp_path):
     # telemetry counters landed
     tel = sinks.read(spark, "telemetry")
     assert tel.where("metric = 'topology_produced_total'").count() > 0
+    # K4 resources dim: one content-addressed row per distinct resource
+    # identity, landed via the txlog MERGE; idempotent across re-MERGE
+    res = sinks.read(spark, "otel_resources")
+    n_identities = (
+        sinks.read(spark, "otel_logs")
+        .select("host", "service", "cluster", "namespace")
+        .distinct()
+        .count()
+    )
+    assert sc["otel_resources"] == res.count() == n_identities
+    assert res.select("resource_ref").distinct().count() == n_identities
 
 
 def test_resume_converges_to_full_run(spark, webtext_dir, tmp_path):

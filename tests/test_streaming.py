@@ -153,7 +153,7 @@ def test_streaming_pipeline_matches_batch(spark, webtext_dir, tmp_path):
     for family in (
         "otel_logs", "topology_elements", "topology_components",
         "topology_relations", "topology_deletes", "topology_envelopes",
-        "new_streams", "topology_intake",
+        "new_streams", "topology_intake", "otel_resources",
     ):
         assert summary["sink_counts"][family] == b_summary["sink_counts"][family], family
 
