@@ -44,9 +44,13 @@ Guarantees (and how):
   lineage manifest recorded them).
 
 At 100 TB the log lists file names, not data — the same driver-side
-scale as Delta/Iceberg metadata; checkpoints of the replayed state
-(Delta's _last_checkpoint) are the known growth path and out of scope
-at this log size.
+scale as Delta/Iceberg metadata. Like Delta's _last_checkpoint, every
+CHECKPOINT_EVERY-th commit also writes a checkpoint of the replayed
+state (live file set + schema), so snapshot() replays only the commits
+after the newest checkpoint — O(1) in table age instead of O(commits),
+which is what keeps a long-lived sink (one commit per run, thousands of
+runs) readable without a full log scan. Checkpoints are derived data:
+losing one only costs a longer replay.
 """
 
 from __future__ import annotations
@@ -62,6 +66,7 @@ from pyspark.sql.types import StructType
 
 _LOG_DIR = "_txlog"
 _VERSION_DIGITS = 20
+CHECKPOINT_EVERY = 16
 
 
 class CommitConflict(RuntimeError):
@@ -125,14 +130,71 @@ class TxLogTable:
             out.append(rec)
         return out
 
-    def snapshot(self, at_version: int | None = None) -> tuple[list[str], str | None]:
-        """Replay the log: (live relpaths in first-added order, latest
-        schema json). `at_version` gives time travel."""
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(
+            self._log_dir(), f"{version:0{_VERSION_DIGITS}d}.checkpoint.json"
+        )
+
+    def _checkpoint_versions(self) -> list[int]:
+        d = self._log_dir()
+        if not os.path.isdir(d):
+            return []
+        suffix = ".checkpoint.json"
+        return sorted(
+            int(f[: -len(suffix)]) for f in os.listdir(d)
+            if f.endswith(suffix) and f[: -len(suffix)].isdigit()
+        )
+
+    def _maybe_write_checkpoint(self, version: int) -> None:
+        """Every CHECKPOINT_EVERY commits, persist the replayed state so
+        later snapshots replay O(1) commits (Delta _last_checkpoint
+        shape). Derived data: tmp+rename is plenty — a torn/lost
+        checkpoint only costs a longer replay."""
+        if version % CHECKPOINT_EVERY != 0:
+            return
+        live, schema = self._replay(at_version=version)
+        tmp = os.path.join(self._log_dir(), f"_ckpt_tmp_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump({"live": live, "schema": schema}, f)
+        os.replace(tmp, self._checkpoint_path(version))
+
+    def _replay(self, at_version: int | None = None) -> tuple[list[str], str | None]:
+        """Full log replay from version 1 (no checkpoint shortcut)."""
         live: dict[str, None] = {}
         schema = None
         for rec in self.commits():
             if at_version is not None and rec["version"] > at_version:
                 break
+            for p in rec.get("remove", []):
+                live.pop(p, None)
+            for p in rec.get("add", []):
+                live[p] = None
+            schema = rec.get("schema") or schema
+        return list(live), schema
+
+    def snapshot(self, at_version: int | None = None) -> tuple[list[str], str | None]:
+        """(live relpaths in first-added order, latest schema json),
+        starting from the newest usable checkpoint and replaying only the
+        commits after it. `at_version` gives time travel."""
+        base = [
+            v for v in self._checkpoint_versions()
+            if at_version is None or v <= at_version
+        ]
+        if not base:
+            return self._replay(at_version)
+        start = base[-1]
+        try:
+            with open(self._checkpoint_path(start)) as f:
+                ckpt = json.load(f)
+            live: dict[str, None] = dict.fromkeys(ckpt["live"])
+            schema = ckpt.get("schema")
+        except (OSError, ValueError, KeyError):
+            return self._replay(at_version)  # torn checkpoint: full replay
+        for v in self.versions():
+            if v <= start or (at_version is not None and v > at_version):
+                continue
+            with open(self._commit_path(v)) as f:
+                rec = json.load(f)
             for p in rec.get("remove", []):
                 live.pop(p, None)
             for p in rec.get("add", []):
@@ -161,6 +223,7 @@ class TxLogTable:
                 version = (self.versions() or [0])[-1] + 1
                 try:
                     os.link(tmp, self._commit_path(version))  # atomic claim
+                    self._maybe_write_checkpoint(version)
                     return version
                 except FileExistsError:
                     continue  # lost the race — rebase on the new tip

@@ -196,3 +196,32 @@ def test_upsert_plans_without_window(spark, tmp_path):
     assert "F.row_number" not in src and "Window.partitionBy" not in src
     assert "import Window" not in src
     assert "max_by" in src
+
+
+def test_log_checkpoint_compaction(spark, tmp_path):
+    """Every CHECKPOINT_EVERY-th commit persists the replayed state;
+    snapshot() resumes from it (O(1) in table age) and stays exactly
+    equal to a full replay — including after post-checkpoint commits,
+    with time travel, and with a corrupted checkpoint (falls back to
+    full replay)."""
+    from sts_opentelemetry_collector_spark.plans import txlog as T
+
+    tbl = T.TxLogTable(str(tmp_path / "t"))
+    dfs = {
+        i: spark.createDataFrame([(i,)], "id long") for i in range(1, 4)
+    }
+    n_commits = T.CHECKPOINT_EVERY + 3
+    for i in range(n_commits):
+        tbl.append(dfs[(i % 3) + 1], meta={"i": i})
+    assert tbl._checkpoint_versions() == [T.CHECKPOINT_EVERY]
+    assert sorted(tbl.snapshot()[0]) == sorted(tbl._replay()[0])
+    # time travel before / at / after the checkpoint
+    for v in (T.CHECKPOINT_EVERY - 1, T.CHECKPOINT_EVERY, n_commits):
+        assert sorted(tbl.snapshot(at_version=v)[0]) == sorted(
+            tbl._replay(at_version=v)[0]
+        )
+    assert tbl.read(spark).count() == n_commits
+    # torn checkpoint: snapshot falls back to full replay
+    with open(tbl._checkpoint_path(T.CHECKPOINT_EVERY), "w") as f:
+        f.write("{not json")
+    assert sorted(tbl.snapshot()[0]) == sorted(tbl._replay()[0])
