@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "bigram_logprob",
     "k5_exp_histogram_passthrough",
     "bigram_backoff_scored",
+    "line_dedup",
 ]
 
 

@@ -583,6 +583,65 @@ FROM j GROUP BY doc_id
 """
 
 
+def q_line_dedup(spark, sf):
+    """CCNet-style corpus line dedup: documents are re-lined into 8-token
+    lines (deterministic in both engines), then every line appearing in
+    >= 2 distinct docs (boilerplate) is dropped from all of them and the
+    survivors reassemble in order. Digest keeps the compare compact."""
+    from .operators.textops import line_dedup
+
+    docs = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lined = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+        ),
+        "\n",
+    )
+    out = line_dedup(docs.select("doc_id", lined.alias("text")), min_docs=2)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_digest"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
+SQL_LINE_DEDUP = """
+WITH lined AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+                          i -> array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ')),
+           chr(10)) AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), lines AS (
+  SELECT doc_id, ord - 1 AS idx, line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+               generate_subscripts(string_split(text, chr(10)), 1) AS ord
+        FROM lined)
+), boiler AS (
+  SELECT line
+  FROM (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY 1)
+  WHERE nd >= 2
+), kept AS (
+  SELECT l.doc_id, l.idx, l.line FROM lines l ANTI JOIN boiler b USING (line)
+), reass AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text,
+         COUNT(*) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5(COALESCE(r.text, '')) AS text_digest,
+       CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(len(string_split(d.text, chr(10))) - COALESCE(r.n_lines_kept, 0)
+            AS BIGINT) AS n_lines_dropped
+FROM lined d LEFT JOIN reass r USING (doc_id)
+"""
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic stratified sampling: keep a doc iff its md5-derived
     bucket < rate — reproducible across engines/runs/partitionings, zero
@@ -2650,6 +2709,7 @@ QUERIES = {
     # --- (2) r5 additions
     "k5_exp_histogram_passthrough": q_k5_exp_histogram_passthrough,
     "bigram_backoff_scored": q_bigram_backoff_scored,
+    "line_dedup": q_line_dedup,
     # --- (3) queries whose operator code changed in r5
     "d1_dedup_first_wins": q_d1_dedup_first_wins,
     "k5_exp_histogram": q_k5_exp_histogram,
@@ -2771,6 +2831,7 @@ ORACLES = {
     "k5_exp_histogram": SQL_K5_EXP_HISTOGRAM,
     "k5_exp_histogram_passthrough": SQL_K5_EXP_HISTOGRAM_PASSTHROUGH,
     "bigram_backoff_scored": SQL_BIGRAM_BACKOFF_SCORED,
+    "line_dedup": SQL_LINE_DEDUP,
     "embedding_near_dup": SQL_NEAR_DUP,
     "embedding_near_dup_lsh": SQL_NEAR_DUP_LSH,
     "dedup_groups_star": SQL_NEAR_DUP_GROUPS,

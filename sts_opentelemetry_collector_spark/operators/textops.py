@@ -1393,6 +1393,65 @@ def bigram_logprob_scored(
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level LINE deduplication — the CCNet/RefinedWeb boilerplate
+    remover (CCNet, Wenzek et al. LREC'20 §3.1: paragraph-hash dedup
+    across shards; RefinedWeb repeats it line-wise): a line whose exact
+    text appears in >= min_docs DISTINCT documents is boilerplate
+    (headers, nav bars, cookie banners) and is dropped from EVERY doc;
+    the surviving lines are reassembled in original order. This is the
+    step that runs before doc-level near-dup in real corpus pipelines —
+    boilerplate otherwise dominates MinHash signatures.
+
+    Output: (doc_id, text, n_lines_kept, n_lines_dropped) — one row per
+    input doc, empty text when every line was boilerplate.
+
+    Scale shape: line explode is row-local; the boilerplate table is one
+    count_distinct groupBy on the line key (two-phase partial agg; AQE
+    skew-join handles the Zipf head — boilerplate IS the skew); the drop
+    is a line-keyed left-anti against that (dimension-sized: distinct
+    boilerplate lines, not line instances); reassembly is one doc-keyed
+    groupBy with an array_sort over (idx, line) structs — NO window, no
+    per-doc sort shuffle beyond the group itself. Docs never carry their
+    full text through the shuffle: only (doc_id, idx, line) rows move."""
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "line")
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(boiler, on="line", how="left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = docs.select(
+        "doc_id", F.size(F.split(F.col(text_col), sep)).alias("_n_total")
+    )
+    return totals.join(reassembled, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+        (F.col("_n_total") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_lines_dropped"),
+    )
+
+
 def hash_mod_expr(key_col: str = "doc_id", mod: int = 100):
     """Engine-portable deterministic pseudo-random bucket in [0, mod):
     first 8 hex chars of md5(key) as an int, mod'ed. md5 is bit-identical

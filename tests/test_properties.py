@@ -93,3 +93,35 @@ def test_stupid_backoff_disjoint_split_runs_clean(spark):
     out = bigram_logprob_scored(train, score)
     ids = {r.doc_id for r in out.collect()}
     assert ids == set(range(15, 20))
+
+
+def test_line_dedup_semantics(spark):
+    """Hand-pinned CCNet line-dedup semantics: a line in >= min_docs
+    DISTINCT docs drops everywhere; a line repeated within ONE doc stays
+    (distinct-doc count is 1); order is preserved; an all-boilerplate
+    doc survives as an empty row."""
+    from sts_opentelemetry_collector_spark.operators.textops import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nunique alpha\ncookie banner\nunique beta"),
+            (2, "cookie banner\nunique gamma"),
+            (3, "cookie banner"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in line_dedup(docs, min_docs=2).collect()}
+    # 'cookie banner' is in 3 distinct docs -> boilerplate everywhere
+    assert got[1].text == "unique alpha\nunique beta"
+    assert got[1].n_lines_kept == 2 and got[1].n_lines_dropped == 2
+    assert got[2].text == "unique gamma"
+    assert got[3].text == "" and got[3].n_lines_kept == 0
+    assert got[3].n_lines_dropped == 1
+
+    # a line repeated only WITHIN one doc is not boilerplate
+    solo = spark.createDataFrame(
+        [(1, "echo\necho\nother"), (2, "something else")],
+        "doc_id long, text string",
+    )
+    [r1] = [r for r in line_dedup(solo, min_docs=2).collect() if r.doc_id == 1]
+    assert r1.text == "echo\necho\nother" and r1.n_lines_dropped == 0
