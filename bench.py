@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "k5_exp_histogram_passthrough",
     "bigram_backoff_scored",
     "line_dedup",
+    "ccnet_buckets",
 ]
 
 

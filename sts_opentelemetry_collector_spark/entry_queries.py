@@ -583,6 +583,70 @@ FROM j GROUP BY doc_id
 """
 
 
+def q_ccnet_buckets(spark, sf):
+    """CCNet's head/middle/tail LM-quality bucketing (Wenzek et al.
+    LREC'20 §3.3): per-doc bigram-LM scores split at the exact tercile
+    thresholds — head = most fluent third, tail = least. Thresholds are
+    exact interpolated percentiles (R-7 in both engines); at 100 TB the
+    same plan swaps percentile for percentile_approx (documented in the
+    operator family). Counts per (lang, bucket) keep the compare
+    compact and pin the threshold comparisons."""
+    from .operators.textops import bigram_logprob
+
+    docs = _t(spark, sf, "documents")
+    scored = bigram_logprob(docs).join(
+        docs.select("doc_id", "lang"), on="doc_id"
+    )
+    th = scored.agg(
+        F.percentile("avg_bigram_logprob", F.lit(1.0 / 3)).alias("t1"),
+        F.percentile("avg_bigram_logprob", F.lit(2.0 / 3)).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("avg_bigram_logprob") < F.col("t1"), "tail")
+        .when(F.col("avg_bigram_logprob") < F.col("t2"), "middle")
+        .otherwise("head")
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .select("lang", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_CCNET_BUCKETS = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), bg AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        FROM t WHERE len(toks) >= 2)
+), doc_bg AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS m FROM bg GROUP BY 1, 2, 3
+), pair_cnt AS (
+  SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c2 FROM doc_bg GROUP BY 1, 2
+), prefix_cnt AS (
+  SELECT w1, CAST(SUM(m) AS BIGINT) AS c1 FROM doc_bg GROUP BY 1
+), scored AS (
+  SELECT d.doc_id,
+         round(SUM(ln(CAST(c2 AS DOUBLE) / c1) * m) / SUM(m), 4) AS s
+  FROM doc_bg d JOIN pair_cnt USING (w1, w2) JOIN prefix_cnt USING (w1)
+  GROUP BY d.doc_id
+), th AS (
+  SELECT quantile_cont(s, 1.0/3) AS t1, quantile_cont(s, 2.0/3) AS t2
+  FROM scored
+)
+SELECT doc.lang,
+       CASE WHEN s < t1 THEN 'tail'
+            WHEN s < t2 THEN 'middle'
+            ELSE 'head' END AS bucket,
+       COUNT(*) AS n_docs
+FROM scored JOIN documents doc USING (doc_id) CROSS JOIN th
+GROUP BY 1, 2
+"""
+
+
 def q_line_dedup(spark, sf):
     """CCNet-style corpus line dedup: documents are re-lined into 8-token
     lines (deterministic in both engines), then every line appearing in
@@ -2710,6 +2774,7 @@ QUERIES = {
     "k5_exp_histogram_passthrough": q_k5_exp_histogram_passthrough,
     "bigram_backoff_scored": q_bigram_backoff_scored,
     "line_dedup": q_line_dedup,
+    "ccnet_buckets": q_ccnet_buckets,
     # --- (3) queries whose operator code changed in r5
     "d1_dedup_first_wins": q_d1_dedup_first_wins,
     "k5_exp_histogram": q_k5_exp_histogram,
@@ -2832,6 +2897,7 @@ ORACLES = {
     "k5_exp_histogram_passthrough": SQL_K5_EXP_HISTOGRAM_PASSTHROUGH,
     "bigram_backoff_scored": SQL_BIGRAM_BACKOFF_SCORED,
     "line_dedup": SQL_LINE_DEDUP,
+    "ccnet_buckets": SQL_CCNET_BUCKETS,
     "embedding_near_dup": SQL_NEAR_DUP,
     "embedding_near_dup_lsh": SQL_NEAR_DUP_LSH,
     "dedup_groups_star": SQL_NEAR_DUP_GROUPS,
