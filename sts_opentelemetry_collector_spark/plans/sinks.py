@@ -117,6 +117,12 @@ class SinkCatalog:
     def vacuum(self, name: str, retain_seconds: float = 0.0) -> list[str]:
         return self.table(name).vacuum(retain_seconds)
 
+    def compact(self, spark: SparkSession, name: str,
+                target_file_bytes: int = 128 << 20) -> int:
+        """OPTIMIZE: bin-pack a sink's small live files (streaming appends
+        land one commit per micro-batch) — see TxLogTable.compact."""
+        return self.table(name).compact(spark, target_file_bytes)
+
     def exists(self, name: str) -> bool:
         if self.table(name).exists():
             return True

@@ -398,6 +398,59 @@ class TxLogTable:
         staged = self.stage(latest, partition_by=["_bucket"], op="merge")
         return staged.publish(remove=doomed)
 
+    def compact(self, spark: SparkSession, target_file_bytes: int = 128 << 20,
+                min_files: int = 2) -> int:
+        """OPTIMIZE / rewrite_data_files: bin-pack small live files per
+        hive partition directory into ~target_file_bytes files — the
+        maintenance op that keeps a streaming-append sink (one commit per
+        micro-batch => many tiny files) scannable. Per partition with
+        >= min_files live files: read exactly those files, coalesce
+        (no shuffle — file-scan partitions combine in place) toward the
+        target size, stage rewrites, and publish ONE atomic commit
+        {add rewritten, remove originals} covering every compacted
+        partition. Rows are byte-equal; untouched partitions' files are
+        never rewritten; pre-compaction snapshots stay time-travelable;
+        vacuum reclaims the originals. Returns the number of files
+        removed."""
+        import math
+
+        live, _schema = self.snapshot()
+        by_dir: dict[str, list[str]] = {}
+        for rel in live:
+            by_dir.setdefault(os.path.dirname(rel), []).append(rel)
+
+        all_add: list[str] = []
+        all_remove: list[str] = []
+        for part_dir, rels in sorted(by_dir.items()):
+            if len(rels) < min_files:
+                continue
+            paths = [os.path.join(self.root, r) for r in rels]
+            total = sum(os.path.getsize(p) for p in paths)
+            n_out = max(1, math.ceil(total / target_file_bytes))
+            if n_out >= len(rels):
+                continue  # already at or below the target layout
+            df = spark.read.parquet(*paths).coalesce(n_out)
+            staged = self.stage(df, partition_by=None, op="compact")
+            if part_dir:
+                os.makedirs(os.path.join(self.root, part_dir), exist_ok=True)
+                moved = []
+                for rel in staged.files:
+                    dst = os.path.join(part_dir, os.path.basename(rel))
+                    os.rename(
+                        os.path.join(self.root, rel), os.path.join(self.root, dst)
+                    )
+                    moved.append(dst)
+                staged.files = sorted(moved)
+            all_add.extend(staged.files)
+            all_remove.extend(rels)
+        if not all_remove:
+            return 0
+        self._commit(
+            "compact", add=all_add, remove=all_remove, schema_json=None,
+            meta={"compacted_partitions": len({os.path.dirname(r) for r in all_remove})},
+        )
+        return len(all_remove)
+
     def vacuum(self, retain_seconds: float = 0.0) -> list[str]:
         """Delete data files invisible to the CURRENT snapshot and older
         than `retain_seconds` (crashed stages, superseded merge/overwrite

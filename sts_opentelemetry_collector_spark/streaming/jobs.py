@@ -203,6 +203,13 @@ def run_pipeline_streaming(
     )
     q.awaitTermination()
 
+    # maintenance: each micro-batch landed one commit of small files;
+    # bin-pack them before the read-back passes (OPTIMIZE — counts are
+    # unaffected, pre-compaction snapshots stay time-travelable)
+    for stream_sink in ("otel_logs_stream", "topology_elements_stream"):
+        if sinks.exists(stream_sink):
+            sinks.compact(spark, stream_sink)
+
     sink_counts = {"otel_logs": sinks.read(spark, "otel_logs_stream").count()}
     # K4 resources dim MERGE off the landed log store — shared helper
     # with the batch flagship (resource identity cannot drift)

@@ -225,3 +225,36 @@ def test_log_checkpoint_compaction(spark, tmp_path):
     with open(tbl._checkpoint_path(T.CHECKPOINT_EVERY), "w") as f:
         f.write("{not json")
     assert sorted(tbl.snapshot()[0]) == sorted(tbl._replay()[0])
+
+
+def test_compact_bin_packs_small_files(spark, tmp_path):
+    """OPTIMIZE: many per-commit small files bin-pack into one per
+    partition in a single atomic commit; rows byte-equal, pre-compaction
+    snapshot still time-travelable, originals vacuumable."""
+    from sts_opentelemetry_collector_spark.plans.txlog import TxLogTable
+
+    tbl = TxLogTable(str(tmp_path / "t"))
+    for i in range(6):
+        tbl.append(
+            spark.createDataFrame([(i, i % 2)], "x long, p int").coalesce(1),
+            partition_by=["p"],
+        )
+    pre_version = tbl.versions()[-1]
+    live_before = tbl.snapshot()[0]
+    assert len(live_before) == 6  # one file per append per touched partition
+    rows_before = sorted((r.x, r.p) for r in tbl.read(spark).collect())
+
+    removed = tbl.compact(spark, target_file_bytes=1 << 30)
+    assert removed == 6
+    live_after = tbl.snapshot()[0]
+    assert len(live_after) == 2  # one packed file per p= partition
+    assert sorted((r.x, r.p) for r in tbl.read(spark).collect()) == rows_before
+    # pre-compaction snapshot unchanged (time travel)
+    assert sorted(
+        (r.x, r.p) for r in tbl.read(spark, at_version=pre_version).collect()
+    ) == rows_before
+    # originals reclaimable; compacted table still intact afterwards
+    assert len(tbl.vacuum(0.0)) == 6
+    assert sorted((r.x, r.p) for r in tbl.read(spark).collect()) == rows_before
+    # idempotent: nothing left to pack
+    assert tbl.compact(spark, target_file_bytes=1 << 30) == 0
