@@ -1411,24 +1411,26 @@ def line_dedup(
     Output: (doc_id, text, n_lines_kept, n_lines_dropped) — one row per
     input doc, empty text when every line was boilerplate.
 
-    Scale shape: line explode is row-local; the boilerplate table is one
-    count_distinct groupBy on the line key (two-phase partial agg; AQE
-    skew-join handles the Zipf head — boilerplate IS the skew); the drop
-    is a line-keyed left-anti against that (dimension-sized: distinct
-    boilerplate lines, not line instances); reassembly is one doc-keyed
-    groupBy with an array_sort over (idx, line) structs — NO window, no
-    per-doc sort shuffle beyond the group itself. Docs never carry their
-    full text through the shuffle: only (doc_id, idx, line) rows move."""
+    Scale shape: line explode is row-local; line identity travels as
+    md5(line), so the count-distinct/boilerplate leg shuffles 16-byte
+    digests — Catalyst prunes the text column out of that subtree —
+    instead of full line text as the grouping key (boilerplate lines are
+    long; key width is that leg's shuffle bill at 100 TB). The drop is a
+    digest-keyed left-anti against the dimension-sized boilerplate set
+    (probe rows carry text exactly once — reassembly needs it);
+    reassembly is one doc-keyed groupBy with an array_sort over
+    (idx, line) structs — NO window, no per-doc sort shuffle beyond the
+    group itself."""
     lines = docs.select(
         "doc_id", F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "line")
-    )
+    ).withColumn("_lh", F.md5("line"))
     boiler = (
-        lines.groupBy("line")
+        lines.groupBy("_lh")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
-        .select("line")
+        .select("_lh")
     )
-    kept = lines.join(boiler, on="line", how="left_anti")
+    kept = lines.join(boiler, on="_lh", how="left_anti").drop("_lh")
     reassembled = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
