@@ -333,8 +333,14 @@ class TxLogTable:
                 [], StructType.fromJson(json.loads(schema_json))
             )
         paths = [os.path.join(self.root, p) for p in files]
-        # basePath recovers hive partition columns from the dir names
-        return spark.read.option("basePath", self.root).parquet(*paths)
+        # basePath recovers hive partition columns from the dir names;
+        # mergeSchema unions file schemas so a column added by a later
+        # append reads as null for older files (additive evolution)
+        return (
+            spark.read.option("basePath", self.root)
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+        )
 
     def read(self, spark: SparkSession, at_version: int | None = None) -> DataFrame:
         files, schema = self.snapshot(at_version)
@@ -454,7 +460,15 @@ class TxLogTable:
     def vacuum(self, retain_seconds: float = 0.0) -> list[str]:
         """Delete data files invisible to the CURRENT snapshot and older
         than `retain_seconds` (crashed stages, superseded merge/overwrite
-        files, rolled-back commits). Never touches the log itself."""
+        files, rolled-back commits). Never touches the log itself.
+
+        Safety: retain_seconds must exceed (a) the longest plausible
+        stage-to-publish window of any live writer (a staged-but-not-yet-
+        published file is invisible and would be eaten by vacuum(0)) and
+        (b) the oldest snapshot version any reader still holds (time
+        travel past a vacuumed file fails). retain_seconds=0 is only for
+        single-writer quiesced maintenance — the same contract as
+        Delta's VACUUM RETAIN 0 HOURS warning."""
         live = set(self.snapshot()[0])
         now = time.time()
         removed = []

@@ -447,3 +447,61 @@ def test_exp_histogram_merge_empty_sides(spark):
     assert r.scale == 3 and r.zero_count == 9
     assert r.positive_bucket_counts == [] and r.negative_bucket_counts == []
     assert r.positive_offset == 0 and r.negative_offset == 0
+
+
+def test_exp_histogram_merge_property_random(spark):
+    """Property pin: 60 seeded random datapoints across groups/scales
+    0..6 (random offsets incl. negatives, random bucket arrays with
+    zeros) — merged output must match a python model using exact
+    integer floor-division folds."""
+    import random
+    from collections import defaultdict
+
+    from sts_opentelemetry_collector_spark.operators.aggregate import (
+        exp_histogram_merge,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        k = f"g{rng.randrange(5)}"
+        scale = rng.randrange(0, 7)
+        pbc = [rng.choice([0, rng.randrange(1, 50)]) for _ in range(rng.randrange(0, 5))]
+        nbc = [rng.choice([0, rng.randrange(1, 50)]) for _ in range(rng.randrange(0, 4))]
+        poff = rng.randrange(-20, 20)
+        noff = rng.randrange(-20, 20)
+        zc = rng.randrange(0, 5)
+        rows.append((k, scale, zc, poff, pbc, noff, nbc,
+                     zc + sum(pbc) + sum(nbc), rng.randrange(-500, 500)))
+    df = spark.createDataFrame(rows, DP_SCHEMA)
+    got = {r.k: r for r in exp_histogram_merge(df, ["k"]).collect()}
+
+    # python model
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r[0]].append(r)
+    for k, dps in groups.items():
+        tgt = min(d[1] for d in dps)
+        pos, neg = defaultdict(int), defaultdict(int)
+        zc = cnt = sm = 0
+        for (_k, scale, z, poff, pbc, noff, nbc, c, s) in dps:
+            zc += z; cnt += c; sm += s
+            d = scale - tgt
+            for i, v in enumerate(pbc):
+                if v:
+                    pos[(poff + i) >> d] += v
+            for i, v in enumerate(nbc):
+                if v:
+                    neg[(noff + i) >> d] += v
+        r = got[k]
+        assert r.scale == tgt and r.zero_count == zc
+        assert r["count"] == cnt and r["sum"] == sm
+        for side, m in (("positive", pos), ("negative", neg)):
+            off = r[f"{side}_offset"]
+            arr = r[f"{side}_bucket_counts"]
+            if not m:
+                assert arr == [] and off == 0
+                continue
+            lo, hi = min(m), max(m)
+            assert off == lo
+            assert arr == [m.get(i, 0) for i in range(lo, hi + 1)]

@@ -258,3 +258,15 @@ def test_compact_bin_packs_small_files(spark, tmp_path):
     assert sorted((r.x, r.p) for r in tbl.read(spark).collect()) == rows_before
     # idempotent: nothing left to pack
     assert tbl.compact(spark, target_file_bytes=1 << 30) == 0
+
+
+def test_additive_schema_evolution_on_read(spark, tmp_path):
+    """A column added by a later append reads as NULL for older files
+    (mergeSchema union) — additive evolution without table rewrite."""
+    from sts_opentelemetry_collector_spark.plans.txlog import TxLogTable
+
+    tbl = TxLogTable(str(tmp_path / "t"))
+    tbl.append(spark.createDataFrame([(1,)], "id long"))
+    tbl.append(spark.createDataFrame([(2, "x")], "id long, extra string"))
+    got = {r.id: r.extra for r in tbl.read(spark).collect()}
+    assert got == {1: None, 2: "x"}
