@@ -231,7 +231,8 @@ def upsert_resources(
     partial agg collapses the page-scale stream to dimension scale)
     before the map build + content hash; the MERGE then touches only the
     buckets this batch's refs hash into. Returns the dim's committed
-    row count."""
+    row count — observed on the merge write itself plus parquet footer
+    counts of untouched buckets (no re-scan job)."""
     from ..operators.exporters import resources_table
 
     rec = (
@@ -246,8 +247,7 @@ def upsert_resources(
             ).alias("attrs")
         )
     )
-    sinks.upsert(resources_table(rec), sink_name, keys=["resource_ref"])
-    return sinks.read(spark, sink_name).count()
+    return sinks.upsert(resources_table(rec), sink_name, keys=["resource_ref"])
 
 
 def run_pipeline(

@@ -94,7 +94,7 @@ class SinkCatalog:
         keys: list[str],
         order_col: str | None = None,
         n_buckets: int = 16,
-    ) -> None:
+    ) -> int:
         """Last-writer-wins MERGE keyed `keys` — the ClickHouse
         ReplacingMergeTree / Iceberg MERGE INTO analog (K4 resources dim,
         exporter_resources.go:141-144). Partition-pruned: only the
@@ -102,8 +102,9 @@ class SinkCatalog:
         rewritten; the winner per key is a max_by hash aggregate (no
         window sort); old and new files swap in ONE atomic commit, so a
         concurrent reader sees either the pre- or post-merge snapshot,
-        never a mix and never a half-written table."""
-        self.table(name).merge_upsert(
+        never a mix and never a half-written table. Returns the
+        post-merge table row count (no extra scan job)."""
+        return self.table(name).merge_upsert(
             df, keys=keys, order_col=order_col, n_buckets=n_buckets
         )
 

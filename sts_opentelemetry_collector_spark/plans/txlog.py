@@ -355,7 +355,9 @@ class TxLogTable:
     def merge_upsert(self, df: DataFrame, keys: list[str],
                      order_col: str | None = None, n_buckets: int = 16) -> int:
         """Last-writer-wins MERGE INTO keyed `keys` (the ClickHouse
-        ReplacingMergeTree / Iceberg MERGE analog, K4).
+        ReplacingMergeTree / Iceberg MERGE analog, K4). Returns the
+        post-merge table row count (observed on the rewrite + parquet
+        footer counts of untouched files — no extra scan job).
 
         Layout: rows hash into `_bucket = xxhash64(keys) % n_buckets`
         hive partitions. The merge reads ONLY the buckets the incoming
@@ -401,8 +403,32 @@ class TxLogTable:
         latest = winner.select(
             *[F.col(f"_w.{c}").alias(c) for c in value_cols]
         )
-        staged = self.stage(latest, partition_by=["_bucket"], op="merge")
-        return staged.publish(remove=doomed)
+        # count rides the rewrite via observe(): rewritten-keys count +
+        # untouched-bucket live rows = post-merge table count with ZERO
+        # extra jobs (callers otherwise re-scan the dim just to count)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"merge_{uuid.uuid4().hex[:8]}")
+        staged = self.stage(
+            latest.observe(obs, F.count(F.lit(1)).alias("n")),
+            partition_by=["_bucket"],
+            op="merge",
+        )
+        staged.publish(remove=doomed)
+        rewritten = int(obs.get["n"] or 0)
+        untouched = [p for p in live if p not in set(doomed)]
+        if not untouched:
+            return rewritten
+        return rewritten + sum(
+            self._parquet_rows(os.path.join(self.root, p)) for p in untouched
+        )
+
+    @staticmethod
+    def _parquet_rows(path: str) -> int:
+        """Footer-only row count (no data scan) via pyarrow metadata."""
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
 
     def compact(self, spark: SparkSession, target_file_bytes: int = 128 << 20,
                 min_files: int = 2) -> int:
