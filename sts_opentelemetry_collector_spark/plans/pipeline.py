@@ -40,33 +40,44 @@ from .lineage import Manifest, new_run_id, partition_stats, with_lineage_partiti
 from .sinks import SinkCatalog
 
 
+# sinks whose run-tagged commits must invert when a run misses the
+# manifest: the logs append (rerun would double rows) and the rollup's
+# ADDITIVE merge (rerun would double-count its windows). The resources
+# MERGE needs no healing — re-merging the same content-addressed
+# identities is a last-writer-wins refresh, not duplication.
+HEALED_SINKS = ("otel_logs", "rollup_host_window")
+
+
 def _heal_unmanifested_runs(
-    spark, sinks: SinkCatalog, manifest: Manifest, sink_name: str
+    spark, sinks: SinkCatalog, manifest: Manifest,
+    sink_names: tuple[str, ...] = HEALED_SINKS,
 ) -> list[str]:
-    """Write-audit-publish heal: a run that PUBLISHED its logs commit but
-    crashed before the lineage manifest recorded it would double rows on
-    the rerun. Roll those commits back — a metadata-only undo (txlog
-    rollback removes the commit's files from the live snapshot; vacuum
-    reclaims the bytes later). Replaces the pre-r5 `shutil.rmtree` orphan
-    purge with an atomic, snapshot-isolated operation."""
-    tbl = sinks.table(sink_name)
-    if not tbl.exists():
-        return []
+    """Write-audit-publish heal: a run that PUBLISHED commits but crashed
+    before the lineage manifest recorded it would double its effect on
+    the rerun. Roll every such run-tagged commit back — txlog rollback
+    is the exact metadata-only inverse ({remove its adds, restore its
+    removes}); vacuum reclaims the bytes later. Newest-first per sink,
+    so a merge rollback always inverts the table tip. Replaces the
+    pre-r5 `shutil.rmtree` orphan purge with an atomic, snapshot-
+    isolated operation."""
     committed = manifest.run_ids(spark)
-    rolled_back_ids = {
-        r.get("meta", {}).get("rolled_back") for r in tbl.commits()
-    }
     healed = []
-    for rec in tbl.commits():
-        rid = rec.get("meta", {}).get("run_id")
-        if (
-            rec.get("op") == "append"
-            and rid is not None
-            and rid not in committed
-            and rec["version"] not in rolled_back_ids
-        ):
-            tbl.rollback(rec["version"], meta={"healed_run": rid})
-            healed.append(rid)
+    for sink_name in sink_names:
+        tbl = sinks.table(sink_name)
+        if not tbl.exists():
+            continue
+        commits = tbl.commits()
+        rolled_back_ids = {r.get("meta", {}).get("rolled_back") for r in commits}
+        for rec in reversed(commits):
+            rid = rec.get("meta", {}).get("run_id")
+            if (
+                rid is not None
+                and rec.get("op") in ("append", "merge", "merge_aggregate")
+                and rid not in committed
+                and rec["version"] not in rolled_back_ids
+            ):
+                tbl.rollback(rec["version"], meta={"healed_run": rid})
+                healed.append(rid)
     return healed
 
 
@@ -317,7 +328,7 @@ def run_pipeline(
     # half-visible tables. A run that published but crashed before the
     # manifest recorded it is rolled back here, metadata-only, before
     # this run begins (heals the pre-r5 orphan-purge window atomically).
-    _heal_unmanifested_runs(spark, sinks, manifest, "otel_logs")
+    _heal_unmanifested_runs(spark, sinks, manifest)
 
     logs_obs = Observation("otel_logs")
     # snappy on the hot stream sink — same throughput-over-ratio tradeoff
@@ -495,21 +506,25 @@ def run_pipeline(
     sink_counts["otel_resources"] = upsert_resources(spark, sinks, logs_back)
     _mark("resources_upsert")
 
-    # ---- windowed telemetry rollup (host, warc_ts bucket), salted for skew.
-    # Recomputed from the logs sink (all completed partitions), overwritten:
-    # always consistent with whatever subset has landed, so a resumed job
-    # converges to the full-run rollup. (At 100 TB: incremental MERGE
-    # keyed (host, window) instead of full recompute.)
-    all_logs = sinks.read(spark, "otel_logs")
-    rollup = windowed_rollup(all_logs, ts_col="warc_ts", keys=["host"],
+    # ---- windowed telemetry rollup (host, warc_ts bucket), salted for
+    # skew — INCREMENTAL: each run aggregates only ITS pages (the staged
+    # logs read) and additively MERGEs the partials into the rollup sink
+    # keyed (host, window). Run cost is O(this run), not O(table) — the
+    # 100 TB shape — and a resumed job converges because every partial
+    # batch sums in exactly once (the run-heal rolls back an
+    # unmanifested run's merge, so crashes never double-count).
+    rollup = windowed_rollup(logs_back, ts_col="warc_ts", keys=["host"],
                              window=rollup_window, salt_skew=True)
-    rollup_obs = Observation(f"rollup_{run_id}")
-    sinks.overwrite(
-        rollup.observe(rollup_obs, F.count(F.lit(1)).alias("n")),
+    sink_counts["rollup_host_window"] = sinks.merge_aggregate(
+        rollup.select(
+            "host", "window_start", "window_end",
+            F.col("page_count").cast("long").alias("page_count"),
+        ),
         "rollup_host_window",
-        partition_by=None,
+        keys=["host", "window_start", "window_end"],
+        sum_cols=["page_count"],
+        meta={"run_id": run_id, "input_split": webtext_path},
     )
-    sink_counts["rollup_host_window"] = rollup_obs.get["n"]
     _mark("rollup")
 
     # ---- per-partition lineage + metrics (from the landed sink)

@@ -108,6 +108,15 @@ class SinkCatalog:
             df, keys=keys, order_col=order_col, n_buckets=n_buckets
         )
 
+    def merge_aggregate(self, df: DataFrame, name: str, keys: list[str],
+                        sum_cols: list[str], n_buckets: int = 16,
+                        meta: dict | None = None) -> int:
+        """Additive MERGE (incremental rollup): incoming partials SUM
+        into existing keyed rows — see TxLogTable.merge_aggregate."""
+        return self.table(name).merge_aggregate(
+            df, keys=keys, sum_cols=sum_cols, n_buckets=n_buckets, meta=meta
+        )
+
     def rollback_commit(self, name: str, version: int,
                         meta: dict | None = None) -> int:
         return self.table(name).rollback(version, meta=meta)

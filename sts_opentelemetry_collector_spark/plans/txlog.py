@@ -312,13 +312,28 @@ class TxLogTable:
         return staged.publish(remove=doomed)
 
     def rollback(self, version: int, meta: dict | None = None) -> int:
-        """Append a commit that removes exactly what `version` added —
-        the metadata-only undo used by the write-audit-publish heal."""
+        """Append a commit that EXACTLY inverts `version`: its added
+        files are removed and its removed files are restored — a
+        metadata-only undo (the write-audit-publish heal). Complete for
+        appends (nothing to restore) AND for merges/overwrites, provided
+        (a) the inverted commit's removed files have not been vacuumed
+        (the vacuum retention contract) and (b) no LATER commit has
+        touched the same files — i.e. roll back only the table tip, the
+        only shape the run-heal ever needs."""
         target = next((r for r in self.commits() if r["version"] == version), None)
         if target is None:
             raise ValueError(f"no commit {version}")
+        restore = [
+            p for p in target.get("remove", [])
+            if os.path.exists(os.path.join(self.root, p))
+        ]
+        if restore != target.get("remove", []):
+            raise RuntimeError(
+                f"rollback({version}): some files it removed were vacuumed — "
+                "the commit is no longer invertible"
+            )
         return self._commit(
-            "rollback", add=[], remove=target.get("add", []),
+            "rollback", add=restore, remove=target.get("add", []),
             schema_json=None, meta={**(meta or {}), "rolled_back": version},
         )
 
@@ -352,20 +367,16 @@ class TxLogTable:
 
     # ---- merge + maintenance -----------------------------------------
 
-    def merge_upsert(self, df: DataFrame, keys: list[str],
-                     order_col: str | None = None, n_buckets: int = 16) -> int:
-        """Last-writer-wins MERGE INTO keyed `keys` (the ClickHouse
-        ReplacingMergeTree / Iceberg MERGE analog, K4). Returns the
-        post-merge table row count (observed on the rewrite + parquet
-        footer counts of untouched files — no extra scan job).
-
-        Layout: rows hash into `_bucket = xxhash64(keys) % n_buckets`
-        hive partitions. The merge reads ONLY the buckets the incoming
-        keys touch (partition-pruned scan), resolves the winner per key
-        with a max_by(struct) HASH AGGREGATE — no row_number window, no
-        per-key sort shuffle — and publishes {remove touched-bucket
-        files, add rewritten files} as one atomic commit. Untouched
-        buckets' files are never rewritten (byte-identical)."""
+    def _merge_generic(self, df: DataFrame, keys: list[str], combine,
+                       n_buckets: int, op: str, meta: dict | None) -> int:
+        """Shared MERGE machinery: bucket the incoming rows, read ONLY
+        the live files of touched `_bucket` partitions (partition-pruned
+        scan), resolve each key's output row with `combine(merged,
+        value_cols) -> latest`, and publish {remove touched files, add
+        rewritten} as ONE atomic commit. Untouched buckets' files are
+        never rewritten (byte-identical). Returns the post-merge table
+        row count — observed on the rewrite plus parquet FOOTER counts
+        of untouched files (no extra scan job)."""
         spark = df.sparkSession
         bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
             "int"
@@ -394,25 +405,15 @@ class TxLogTable:
             merged = new
 
         value_cols = [c for c in merged.columns if c not in ("_gen",)]
-        order = [F.col("_gen")] + ([F.col(order_col)] if order_col else [])
-        winner = merged.groupBy(*keys).agg(
-            F.max_by(
-                F.struct(*[F.col(c) for c in value_cols]), F.struct(*order)
-            ).alias("_w")
-        )
-        latest = winner.select(
-            *[F.col(f"_w.{c}").alias(c) for c in value_cols]
-        )
-        # count rides the rewrite via observe(): rewritten-keys count +
-        # untouched-bucket live rows = post-merge table count with ZERO
-        # extra jobs (callers otherwise re-scan the dim just to count)
+        latest = combine(merged, value_cols)
         from pyspark.sql import Observation
 
         obs = Observation(f"merge_{uuid.uuid4().hex[:8]}")
         staged = self.stage(
             latest.observe(obs, F.count(F.lit(1)).alias("n")),
             partition_by=["_bucket"],
-            op="merge",
+            op=op,
+            meta=meta,
         )
         staged.publish(remove=doomed)
         rewritten = int(obs.get["n"] or 0)
@@ -421,6 +422,55 @@ class TxLogTable:
             return rewritten
         return rewritten + sum(
             self._parquet_rows(os.path.join(self.root, p)) for p in untouched
+        )
+
+    def merge_upsert(self, df: DataFrame, keys: list[str],
+                     order_col: str | None = None, n_buckets: int = 16,
+                     meta: dict | None = None) -> int:
+        """Last-writer-wins MERGE INTO keyed `keys` (the ClickHouse
+        ReplacingMergeTree / Iceberg MERGE analog, K4): the winner per
+        key is a max_by(struct) HASH AGGREGATE over (generation,
+        order_col) — no row_number window, no per-key sort shuffle.
+        Returns the post-merge table row count (no extra scan job)."""
+
+        def combine(merged: DataFrame, value_cols: list[str]) -> DataFrame:
+            order = [F.col("_gen")] + ([F.col(order_col)] if order_col else [])
+            winner = merged.groupBy(*keys).agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in value_cols]), F.struct(*order)
+                ).alias("_w")
+            )
+            return winner.select(*[F.col(f"_w.{c}").alias(c) for c in value_cols])
+
+        return self._merge_generic(df, keys, combine, n_buckets, "merge", meta)
+
+    def merge_aggregate(self, df: DataFrame, keys: list[str],
+                        sum_cols: list[str], n_buckets: int = 16,
+                        meta: dict | None = None) -> int:
+        """ADDITIVE merge keyed `keys`: incoming partial aggregates SUM
+        into the existing rows (new keys insert) — the incremental-rollup
+        MERGE the flagship's (host, window) telemetry needs at 100 TB:
+        each run merges only ITS partials instead of recomputing the
+        rollup from the whole log table. Every non-key column must be a
+        sum column (the rollup shape); one partial-mergeable hash
+        aggregate per touched bucket. NOT idempotent per batch by
+        construction — callers tag the commit (meta run_id) and the
+        run-heal rolls it back if the run never reached the manifest."""
+        extra = [c for c in df.columns if c not in keys and c not in sum_cols]
+        if extra:
+            raise ValueError(
+                f"merge_aggregate: non-key non-sum columns {extra} — every "
+                "carried column must be additive"
+            )
+
+        def combine(merged: DataFrame, value_cols: list[str]) -> DataFrame:
+            aggs = [F.sum(c).alias(c) for c in sum_cols]
+            # _bucket is constant per key group (it hashes the keys)
+            aggs.append(F.first("_bucket").alias("_bucket"))
+            return merged.groupBy(*keys).agg(*aggs)
+
+        return self._merge_generic(
+            df, keys, combine, n_buckets, "merge_aggregate", meta
         )
 
     @staticmethod

@@ -162,6 +162,49 @@ def test_crashed_run_orphans_healed(spark, webtext_dir, tmp_path):
     assert sinks.read(spark, "otel_logs").count() == 2000
 
 
+def test_crashed_run_rollup_merge_healed(spark, webtext_dir, tmp_path):
+    """The rollup sink is an ADDITIVE merge per run — a crashed run's
+    merge (published, never manifested) must invert at the next start or
+    the rerun double-counts its windows. Simulate: a full run, then a
+    foreign run-tagged additive merge duplicating every row; heal must
+    restore the exact pre-crash rollup."""
+    import pyspark.sql.functions as F_
+
+    out = str(tmp_path / "rollup_crash")
+    wt = _webtext_path(webtext_dir)
+    summary = run_pipeline(spark, wt, out, n_lineage_buckets=4)
+    sinks = SinkCatalog(os.path.join(out, "sinks"))
+    good = sinks.read(spark, "rollup_host_window")
+    good_mass = good.agg(F_.sum("page_count")).first()[0]
+    assert good_mass == summary["rows"]
+
+    # crashed run: its partials merged in, manifest never recorded it
+    sinks.merge_aggregate(
+        good.select("host", "window_start", "window_end", "page_count"),
+        "rollup_host_window",
+        keys=["host", "window_start", "window_end"],
+        sum_cols=["page_count"],
+        meta={"run_id": "deadbeefcafe", "input_split": wt},
+    )
+    doubled = sinks.read(spark, "rollup_host_window").agg(
+        F_.sum("page_count")
+    ).first()[0]
+    assert doubled == 2 * good_mass
+
+    from sts_opentelemetry_collector_spark.plans.lineage import Manifest
+    from sts_opentelemetry_collector_spark.plans.pipeline import (
+        _heal_unmanifested_runs,
+    )
+
+    manifest = Manifest(os.path.join(out, "manifest.parquet"))
+    healed = _heal_unmanifested_runs(spark, sinks, manifest)
+    assert "deadbeefcafe" in healed
+    assert (
+        sinks.read(spark, "rollup_host_window").agg(F_.sum("page_count")).first()[0]
+        == good_mass
+    )
+
+
 def test_tombstones_on_mapping_removal(spark, webtext_dir, tmp_path):
     out = str(tmp_path / "tomb")
     prev = default_mappings()
