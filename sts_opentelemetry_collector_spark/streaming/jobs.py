@@ -177,10 +177,14 @@ def run_pipeline_streaming(
             "url", "warc_ts", "host", "path", "title", "extracted_text",
             "lang", "lang_family", "service", "cluster", "namespace",
         ).withColumn("ds", F.to_date("warc_ts"))
-        sinks.append(logs, "otel_logs_stream", partition_by=None)
+        # stage -> read-back -> publish, like the batch flagship: the
+        # pandas-UDF parse runs ONCE per micro-batch (the mapping input
+        # reads the staged columnar files, not the UDF subtree again)
+        pending = sinks.stage(logs, "otel_logs_stream")
+        logs_back = pending.read(spark)
 
         mi = with_attrs(
-            logs.select("host", "path", "service", "cluster", "namespace", "lang")
+            logs_back.select("host", "path", "service", "cluster", "namespace", "lang")
         )
         compiled = apply_mappings(
             mi, mappings, signal="logs", attr_cols=ATTRS_SOURCE_COLS
@@ -192,6 +196,33 @@ def run_pipeline_streaming(
             elements, "topology_elements_stream",
             partition_by=["data_source", "shard_id"],
         )
+        # incremental rollup twin: this micro-batch's partials SUM into
+        # the (host, window) rollup. foreachBatch redelivers a batch
+        # after a crash and the additive merge is NOT idempotent, so the
+        # commit is tagged with batch_id and skipped on redelivery — the
+        # Delta txnAppId/txnVersion exactly-once pattern for foreachBatch.
+        from ..operators.aggregate import windowed_rollup
+
+        already = any(
+            c.get("meta", {}).get("batch_id") == batch_id
+            for c in sinks.commits("rollup_host_window_stream")
+        ) if sinks.exists("rollup_host_window_stream") else False
+        if not already:
+            partial = windowed_rollup(
+                logs_back, ts_col="warc_ts", keys=["host"],
+                window="1 hour", salt_skew=True,
+            )
+            sinks.merge_aggregate(
+                partial.select(
+                    "host", "window_start", "window_end",
+                    F.col("page_count").cast("long").alias("page_count"),
+                ),
+                "rollup_host_window_stream",
+                keys=["host", "window_start", "window_end"],
+                sum_cols=["page_count"],
+                meta={"batch_id": batch_id},
+            )
+        pending.publish()
         batches.append(batch_id)
 
     stream = read_webtext_stream(spark, webtext_path, max_files=max_files)

@@ -157,6 +157,16 @@ def test_streaming_pipeline_matches_batch(spark, webtext_dir, tmp_path):
     ):
         assert summary["sink_counts"][family] == b_summary["sink_counts"][family], family
 
+    # incremental rollup parity: per-micro-batch additive merges sum to
+    # exactly the batch pipeline's rollup mass
+    s_mass = s_sinks.read(spark, "rollup_host_window_stream").agg(
+        F.sum("page_count")
+    ).first()[0]
+    b_mass = b_sinks.read(spark, "rollup_host_window").agg(
+        F.sum("page_count")
+    ).first()[0]
+    assert s_mass == b_mass == 2100
+
     # the published sinks are real parquet with matching row counts
     for name in ("topology_envelopes", "known_streams", "topology_intake"):
         assert s_sinks.exists(name), name
