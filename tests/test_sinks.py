@@ -350,3 +350,51 @@ def test_txlog_model_random_ops(spark, tmp_path):
 
     # time travel reproduces the final state pinned at its version
     assert snap_rows() == model
+
+
+def test_txlog_model_additive_merge(spark, tmp_path):
+    """Model-based pin for merge_aggregate: random additive merges,
+    tip rollbacks, vacuums and compactions must keep per-key SUMS equal
+    to a pure-python accumulator at every step."""
+    import random
+    from collections import defaultdict
+
+    from sts_opentelemetry_collector_spark.plans.txlog import TxLogTable
+
+    rng = random.Random(31)
+    tbl = TxLogTable(str(tmp_path / "agg"))
+    model: dict[int, int] = defaultdict(int)
+    history = []
+    last = [None]
+
+    def snap():
+        if not tbl.exists():
+            return {}
+        return {r.k: r.s for r in tbl.read(spark).collect()}
+
+    for step in range(14):
+        op = rng.choice(["merge", "merge", "rollback", "vacuum", "compact"])
+        if op == "merge":
+            rows = list({rng.randrange(10): rng.randrange(100)
+                         for _ in range(rng.randrange(1, 4))}.items())
+            tbl.merge_aggregate(
+                spark.createDataFrame(rows, "k long, s long"),
+                keys=["k"], sum_cols=["s"],
+            )
+            for k, v in rows:
+                model[k] += v
+            last[0] = "merge"
+        elif op == "rollback" and last[0] == "merge":
+            tbl.rollback(tbl.versions()[-1])
+            model = defaultdict(int, history[-2]) if len(history) >= 2 else defaultdict(int)
+            last[0] = "rollback"
+        elif op == "vacuum" and tbl.exists():
+            tbl.vacuum(0.0)
+            last[0] = "vacuum"
+        elif op == "compact" and tbl.exists():
+            tbl.compact(spark, target_file_bytes=1 << 30)
+            last[0] = "compact"
+        else:
+            continue
+        history.append(dict(model))
+        assert snap() == dict(model), f"step {step} op {op}"
