@@ -398,3 +398,42 @@ def test_txlog_model_additive_merge(spark, tmp_path):
             continue
         history.append(dict(model))
         assert snap() == dict(model), f"step {step} op {op}"
+
+
+def test_concurrent_writers_race_commit_claims(spark, tmp_path):
+    """Optimistic concurrency under a REAL race: two threads append to
+    one table simultaneously (Spark sessions are thread-safe; the
+    os.link claim is the serialization point). Every append must win a
+    DISTINCT version, the log must be gapless, and every row must be
+    visible — no lost updates, no clobbered commit files."""
+    import threading
+
+    from sts_opentelemetry_collector_spark.plans.txlog import TxLogTable
+
+    tbl = TxLogTable(str(tmp_path / "race"))
+    n_each = 6
+    errors = []
+
+    def writer(offset: int):
+        try:
+            for i in range(n_each):
+                tbl.append(
+                    spark.createDataFrame([(offset + i,)], "id long").coalesce(1),
+                    meta={"writer": offset},
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(o,)) for o in (0, 1000)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    versions = tbl.versions()
+    assert versions == list(range(1, 2 * n_each + 1))  # gapless, distinct
+    rows = {r.id for r in tbl.read(spark).collect()}
+    assert rows == set(range(n_each)) | set(range(1000, 1000 + n_each))
+    # every commit file is intact and attributable to exactly one writer
+    writers = [c["meta"]["writer"] for c in tbl.commits()]
+    assert writers.count(0) == n_each and writers.count(1000) == n_each
