@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "bigram_backoff_scored",
     "line_dedup",
     "ccnet_buckets",
+    "ann_pq_codes",
+    "ann_pq_adc_topk",
 ]
 
 

@@ -2483,6 +2483,87 @@ SELECT centroid_id, COUNT(*) AS cluster_size FROM a1 GROUP BY centroid_id
 """
 
 
+def q_ann_pq_codes(spark, sf):
+    """PQ encode: every vector's per-subspace nearest-codebook-centroid
+    codes (m=4 subspaces x 16 dims, k=8 codes, seeded codebooks) — the
+    64x-compression step of Jégou et al.'s product quantization.
+    Exploded to (vec_id, subspace, code) for direct value compare."""
+    from .operators.similarity import pq_codes
+
+    return pq_codes(_t(spark, sf, "embeddings"), m=4, k=8, dim=64).select(
+        "vec_id", F.posexplode(F.col("codes")).alias("subspace", "code")
+    )
+
+
+SQL_ANN_PQ_CODES = """
+WITH p AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), sub AS (
+  SELECT vec_id, j.subspace,
+         list_slice(v, j.subspace*16 + 1, j.subspace*16 + 16) AS sv
+  FROM p CROSS JOIN (SELECT unnest([0,1,2,3]) AS subspace) j
+), books AS (
+  SELECT subspace, CAST(vec_id AS INT) AS code, sv AS cv
+  FROM sub WHERE vec_id < 8
+), scored AS (
+  SELECT s.vec_id, s.subspace, b.code,
+         round(list_sum(list_transform(range(1, 17),
+               i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))), 4) AS d2
+  FROM sub s JOIN books b USING (subspace)
+)
+SELECT vec_id, subspace, code FROM scored
+QUALIFY row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2, code) = 1
+"""
+
+
+def q_ann_pq_adc_topk(spark, sf):
+    """PQ asymmetric-distance search: approx distance = sum of the
+    per-subspace lookup-table entries for each vector's codes. The scan
+    reads only the 4-int codes, never the 64-float embeddings — the PQ
+    memory story at 10^12 vectors."""
+    from .operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(
+        _t(spark, sf, "embeddings"), query_vec_id=0, k_top=10, m=4, k=8, dim=64
+    )
+
+
+SQL_ANN_PQ_ADC_TOPK = """
+WITH p AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), sub AS (
+  SELECT vec_id, j.subspace,
+         list_slice(v, j.subspace*16 + 1, j.subspace*16 + 16) AS sv
+  FROM p CROSS JOIN (SELECT unnest([0,1,2,3]) AS subspace) j
+), books AS (
+  SELECT subspace, CAST(vec_id AS INT) AS code, sv AS cv
+  FROM sub WHERE vec_id < 8
+), scored AS (
+  SELECT s.vec_id, s.subspace, b.code,
+         round(list_sum(list_transform(range(1, 17),
+               i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))), 4) AS d2
+  FROM sub s JOIN books b USING (subspace)
+), codes AS (
+  SELECT vec_id, subspace, code FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2, code) = 1
+), q AS (
+  SELECT subspace, sv AS qv FROM sub WHERE vec_id = 0
+), lut AS (
+  SELECT b.subspace, b.code,
+         round(list_sum(list_transform(range(1, 17),
+               i -> (b.cv[i] - q.qv[i]) * (b.cv[i] - q.qv[i]))), 4) AS d2
+  FROM books b JOIN q USING (subspace)
+)
+SELECT c.vec_id,
+       round(list_sum(list(l.d2 ORDER BY c.subspace)), 4) AS approx_d2
+FROM codes c JOIN lut l USING (subspace, code)
+WHERE c.vec_id <> 0
+GROUP BY c.vec_id
+ORDER BY approx_d2, c.vec_id
+LIMIT 10
+"""
+
+
 def q_embedding_near_dup(spark, sf):
     """Per-label near-dup pair counts. Candidates come from the stacked-band
     LSH generator (label filters post-candidates) — the all-pairs
@@ -2775,6 +2856,8 @@ QUERIES = {
     "bigram_backoff_scored": q_bigram_backoff_scored,
     "line_dedup": q_line_dedup,
     "ccnet_buckets": q_ccnet_buckets,
+    "ann_pq_codes": q_ann_pq_codes,
+    "ann_pq_adc_topk": q_ann_pq_adc_topk,
     # --- (3) queries whose operator code changed in r5
     "d1_dedup_first_wins": q_d1_dedup_first_wins,
     "k5_exp_histogram": q_k5_exp_histogram,
@@ -2898,6 +2981,8 @@ ORACLES = {
     "bigram_backoff_scored": SQL_BIGRAM_BACKOFF_SCORED,
     "line_dedup": SQL_LINE_DEDUP,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
+    "ann_pq_codes": SQL_ANN_PQ_CODES,
+    "ann_pq_adc_topk": SQL_ANN_PQ_ADC_TOPK,
     "embedding_near_dup": SQL_NEAR_DUP,
     "embedding_near_dup_lsh": SQL_NEAR_DUP_LSH,
     "dedup_groups_star": SQL_NEAR_DUP_GROUPS,

@@ -409,3 +409,147 @@ def near_dup_pairs(
         .groupBy(F.col(f"{block_col}_a").alias(block_col))
         .agg(F.count(F.lit(1)).alias("near_dup_pairs"))
     )
+
+
+def _l2(a, b):
+    """Squared euclidean distance between two equal-length arrays — one
+    row-local zip_with + fold (sequential per row, so bit-identical
+    across engines/partitionings)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_subvector(emb_col, j: int, sub_dim: int):
+    """Subspace j's slice of an embedding (1-based F.slice)."""
+    return F.transform(
+        F.slice(emb_col, j * sub_dim + 1, sub_dim), lambda x: x.cast("double")
+    )
+
+
+def pq_codebooks(embeddings: DataFrame, m: int = 4, k: int = 8,
+                 dim: int = 64) -> DataFrame:
+    """Per-subspace PQ codebooks (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): the embedding splits into m
+    subvectors of dim/m; each subspace gets k centroids. Seeding: the
+    first k vectors' subvectors (the same deterministic seed rule as the
+    IVF family; production training iterates kmeans_refine's Lloyd step
+    per subspace — identical plan shape, orthogonal to the encode/search
+    mechanics pinned here). Output: (subspace, code, cv)."""
+    sub = dim // m
+    parts = []
+    for j in range(m):
+        parts.append(
+            embeddings.where(F.col("vec_id") < k).select(
+                F.lit(j).alias("subspace"),
+                F.col("vec_id").cast("int").alias("code"),
+                pq_subvector(F.col("embedding"), j, sub).alias("cv"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_codes(embeddings: DataFrame, m: int = 4, k: int = 8,
+             dim: int = 64) -> DataFrame:
+    """PQ ENCODE: each vector becomes m small codes — the nearest
+    codebook centroid (squared L2) per subspace. 64 floats become 4
+    bytes here; at 10^12 vectors this 64x compression is what lets an
+    ANN index fit in memory at all.
+
+    Scale shape: codebooks are a broadcast (m*k rows); the argmin per
+    (vector, subspace) is a max_by hash aggregate over the broadcast
+    join (vectors never shuffle); codes pivot back to one row per vector
+    via a second hash aggregate on vec_id. No windows, no cartesian
+    (the broadcast nested loop is the k-row codebook side)."""
+    sub = dim // m
+    books = pq_codebooks(embeddings, m, k, dim)
+    subvecs = embeddings.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        pq_subvector(F.col("embedding"), j, sub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.subspace").alias("subspace"), F.col("s.sv").alias("sv"))
+    scored = subvecs.join(F.broadcast(books), on="subspace").select(
+        "vec_id",
+        "subspace",
+        "code",
+        F.round(_l2(F.col("sv"), F.col("cv")), 4).alias("d2"),
+    )
+    best = scored.groupBy("vec_id", "subspace").agg(
+        F.min_by(F.col("code"), F.struct(F.col("d2"), F.col("code"))).alias("code")
+    )
+    return best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(embeddings: DataFrame, query_vec_id: int = 0, k_top: int = 10,
+                m: int = 4, k: int = 8, dim: int = 64) -> DataFrame:
+    """PQ SEARCH with Asymmetric Distance Computation: the query stays
+    exact; each database vector's distance is approximated as the sum of
+    per-subspace lookup-table entries d_j[code_j] (L2 from the query's
+    subvector to the centroid the vector was encoded to).
+
+    Scale shape: the lookup table is m*k rows — broadcast; the scan
+    touches only each vector's m CODES (4 ints, not 64 floats): at
+    10^12 vectors ADC reads the compressed index, never the raw
+    embeddings — the entire point of PQ. One broadcast join + one
+    per-vector sum, top-k at the end."""
+    sub = dim // m
+    books = pq_codebooks(embeddings, m, k, dim)
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        *[
+            pq_subvector(F.col("embedding"), j, sub).alias(f"q{j}")
+            for j in range(m)
+        ]
+    )
+    # distance lookup table: (subspace, code) -> d2 to the query subvec
+    qsub = F.array(*[F.col(f"q{j}") for j in range(m)])
+    lut = books.crossJoin(F.broadcast(q)).select(
+        "subspace",
+        "code",
+        F.round(_l2(F.col("cv"), F.element_at(qsub, F.col("subspace") + 1)), 4).alias(
+            "d2"
+        ),
+    )
+    codes = pq_codes(embeddings, m, k, dim).where(F.col("vec_id") != query_vec_id)
+    exploded = codes.select(
+        "vec_id", F.posexplode(F.col("codes")).alias("subspace", "code")
+    )
+    # subspace-ORDERED fold, not F.sum: double addition is non-
+    # associative and group aggregation order is nondeterministic — the
+    # ordered fold makes the 4-term sum bit-identical across engines
+    approx = (
+        exploded.join(F.broadcast(lut), on=["subspace", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("subspace", "d2"))),
+                        lambda s: s["d2"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                4,
+            ).alias("approx_d2")
+        )
+    )
+    return approx.orderBy(F.asc("approx_d2"), F.asc("vec_id")).limit(k_top)

@@ -125,3 +125,17 @@ def test_line_dedup_semantics(spark):
     )
     [r1] = [r for r in line_dedup(solo, min_docs=2).collect() if r.doc_id == 1]
     assert r1.text == "echo\necho\nother" and r1.n_lines_dropped == 0
+
+
+def test_pq_seed_vectors_encode_to_themselves(spark):
+    """PQ sanity pin: a vector that IS a codebook seed (vec_id < k) has
+    squared-L2 distance exactly 0 to its own subvector centroid, so it
+    must encode to its own code in EVERY subspace."""
+    from sts_opentelemetry_collector_spark.operators.similarity import pq_codes
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        r.vec_id: r.codes
+        for r in pq_codes(emb, m=4, k=8, dim=64).where("vec_id < 8").collect()
+    }
+    assert got == {i: [i, i, i, i] for i in range(8)}
