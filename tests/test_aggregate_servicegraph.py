@@ -505,3 +505,40 @@ def test_exp_histogram_merge_property_random(spark):
             lo, hi = min(m), max(m)
             assert off == lo
             assert arr == [m.get(i, 0) for i in range(lo, hi + 1)]
+
+
+def test_exp_histogram_merge_is_the_partial_combiner(spark):
+    """Cross-operator coherence: aggregating per SHARD with
+    exp_histogram and then merging the shard datapoints with
+    exp_histogram_merge must equal exp_histogram over the whole input —
+    i.e. the merge IS the partial-aggregation combiner, which is what
+    makes the pair safe as a two-phase distributed aggregate (and as a
+    periodic-flush accumulator, A4)."""
+    import pyspark.sql.functions as F
+
+    from sts_opentelemetry_collector_spark.operators.aggregate import (
+        exp_histogram,
+        exp_histogram_merge,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type",
+        (F.floor(F.col("value") * 10).cast("long") % 2000 - 50).alias("x"),
+        F.pmod(F.col("user_id"), F.lit(3)).alias("shard"),
+    )
+    whole = {
+        r.event_type: r
+        for r in exp_histogram(e, ["event_type"], "x", scale=0).collect()
+    }
+    partials = exp_histogram(e, ["event_type", "shard"], "x", scale=0).drop("shard")
+    merged = {
+        r.event_type: r
+        for r in exp_histogram_merge(partials, ["event_type"]).collect()
+    }
+    assert set(whole) == set(merged)
+    for k in whole:
+        w, m = whole[k], merged[k]
+        for f in ("scale", "zero_count", "positive_offset",
+                  "positive_bucket_counts", "negative_offset",
+                  "negative_bucket_counts", "count", "sum"):
+            assert w[f] == m[f], (k, f, w[f], m[f])
