@@ -652,9 +652,12 @@ def q_line_dedup(spark, sf):
     lines (deterministic in both engines), then every line appearing in
     >= 2 distinct docs (boilerplate) is dropped from all of them and the
     survivors reassemble in order. Digest keeps the compare compact."""
-    from .operators.textops import line_dedup
+    from .operators.textops import line_dedup, spread
 
-    docs = _t(spark, sf, "documents")
+    # spread BEFORE the relining expression: the transform/slice re-lining
+    # is the expensive part and would otherwise evaluate inside the
+    # one-task scan of the single-row-group documents file
+    docs = spread(_t(spark, sf, "documents").select("doc_id", "text"))
     toks = F.split(F.col("text"), " ")
     n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
     lined = F.array_join(
@@ -1773,15 +1776,33 @@ GROUP BY o_orderpriority
 # text analysis / similarity
 
 
+def _sg_spans(spark, sf):
+    """Shared span source for the service-graph queries: spans derive from
+    (event_id, user_id, event_type, value) only — project narrow, then
+    spread (single-row-group events file scans as ONE task; the span
+    projection would serialize on one core). The client/server legs'
+    identical scan+repartition subtrees collapse into one exchange
+    (ReuseExchange)."""
+    from .operators.textops import spread
+    from .sources.spans import spans_from_events
+
+    return spans_from_events(
+        spread(
+            _t(spark, sf, "events").select(
+                "event_id", "user_id", "event_type", "value"
+            )
+        )
+    )
+
+
 def q_sg_edge_metrics(spark, sf):
     """J1+A1: service-graph pair-join counters over spans derived in-plan
     from the events table (sources/spans.py spans_from_events) — runs the
     REAL build_edges pair join; the oracle mirrors the derivation + 1:1
     join algebraically (connector.go:253-343, :387-455)."""
     from .operators.service_graph import service_graph_metrics
-    from .sources.spans import spans_from_events
 
-    counters, _hist = service_graph_metrics(spans_from_events(_t(spark, sf, "events")))
+    counters, _hist = service_graph_metrics(_sg_spans(spark, sf))
     return counters
 
 
@@ -1851,9 +1872,8 @@ def q_sg_latency_quantiles(spark, sf):
     over a sorted list, bit-identical IEEE ops."""
     from .operators.aggregate import latency_quantiles
     from .operators.service_graph import build_edges
-    from .sources.spans import spans_from_events
 
-    edges = build_edges(spans_from_events(_t(spark, sf, "events")))
+    edges = build_edges(_sg_spans(spark, sf))
     return latency_quantiles(
         edges, ["client", "server", "connection_type"], "client_latency_sec"
     )
@@ -1889,11 +1909,8 @@ def q_sg_relations(spark, sf):
     consumer->peer relation for async edges)
     (ststopologyexporter/internal/topology.go:199-333)."""
     from .operators.service_graph import metrics_to_relations, service_graph_metrics
-    from .sources.spans import spans_from_events
 
-    counters, _ = service_graph_metrics(
-        spans_from_events(_t(spark, sf, "events")), extra_dims=_CONN_DIMS
-    )
+    counters, _ = service_graph_metrics(_sg_spans(spark, sf), extra_dims=_CONN_DIMS)
     return metrics_to_relations(counters)
 
 
@@ -1955,11 +1972,8 @@ def q_sg_components(spark, sf):
     relations when no peer.service names the target
     (ststopologyexporter/internal/topology.go:252-269)."""
     from .operators.service_graph import metrics_to_components, service_graph_metrics
-    from .sources.spans import spans_from_events
 
-    counters, _ = service_graph_metrics(
-        spans_from_events(_t(spark, sf, "events")), extra_dims=_CONN_DIMS
-    )
+    counters, _ = service_graph_metrics(_sg_spans(spark, sf), extra_dims=_CONN_DIMS)
     return metrics_to_components(counters)
 
 
@@ -1975,9 +1989,16 @@ FROM conn WHERE connection_type = 'database' AND client_peer_service IS NULL
 
 
 def _a7_resources(spark, sf):
+    from .operators.textops import spread
     from .operators.topology_derive import resource_attrs_from_events
 
-    return resource_attrs_from_events(_t(spark, sf, "events"))
+    # the derived attrs are functions of (user_id, event_id) ONLY: project
+    # narrow, then spread — the driver's events file is a single parquet
+    # row group, so without the repartition the whole when/concat cascade
+    # + candidate explode + partial distinct would run in ONE scan task
+    return resource_attrs_from_events(
+        spread(_t(spark, sf, "events").select("user_id", "event_id"))
+    )
 
 
 def q_a7_resource_components(spark, sf):
@@ -2066,8 +2087,11 @@ def q_k6_intake_groups(spark, sf):
     (exporter.go:44-54, topology.go:335-355); the order digest pins the
     canonical ordering cross-engine."""
     from .operators.intake import intake_payloads
+    from .operators.textops import spread
 
-    e = _t(spark, sf, "events")
+    # spread: both intake legs dedup/group page-scale projections that
+    # would otherwise partial-aggregate inside the one-task scan
+    e = spread(_t(spark, sf, "events").select("user_id", "event_type"))
     api_key = F.concat(F.lit("key-"), (F.col("user_id") % 4).cast("string"))
     comps = (
         e.where(F.col("event_type") == "signup")
@@ -2130,9 +2154,8 @@ def q_k3_traces_sink(spark, sf):
     DDL :214-249). Arrays are digest-projected for cross-engine hashing:
     failed spans carry one 'exception' event; producer spans one link."""
     from .operators.exporters import EVENT_STRUCT, LINK_STRUCT, traces_table
-    from .sources.spans import spans_from_events
 
-    spans = spans_from_events(_t(spark, sf, "events"))
+    spans = _sg_spans(spark, sf)
     spans = spans.withColumn(
         "events",
         F.when(
@@ -2218,8 +2241,13 @@ def q_p14_ottl_transform(spark, sf):
     (transform-processor analog, telemetry-gateway.yaml:31-45) — applied
     in order, `where`-gated, nulls keep keys absent."""
     from .operators.ottl import apply_ottl
+    from .operators.textops import spread
 
-    e = _t(spark, sf, "events").select(
+    # spread: the per-row JSON extraction below is the dominant cost and
+    # would serialize in the one-task scan of the single-row-group file
+    e = spread(
+        _t(spark, sf, "events").select("event_id", "event_type", "value", "props")
+    ).select(
         "event_id",
         "event_type",
         "value",

@@ -27,7 +27,7 @@ yield zero new elements.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 
 def projection_hash(
@@ -76,13 +76,21 @@ def dedup_within_refresh_window(
     refresh_s = max(int(ttl_seconds * refresh_fraction), 1)
     bucket = (F.unix_timestamp(F.col(ts_col)) / refresh_s).cast("long")
     out = df.withColumn("_refresh_bucket", bucket)
-    w = Window.partitionBy(*key_cols, "_refresh_bucket").orderBy(
-        F.col(order_col or ts_col).asc(), *[F.col(c) for c in df.columns if c != ts_col]
+    # keep-first via min_by(struct(all cols), struct(order cols)) — a
+    # partial-mergeable HASH aggregate (map-side combine, one shuffle of
+    # pre-reduced groups) instead of the row_number window that sorted
+    # every group's full row set. The ordering struct is compared
+    # lexicographically field-by-field (asc, nulls first) — exactly the
+    # old window's ORDER BY (order_col, every non-ts column) — so the
+    # surviving row is identical.
+    order_struct = F.struct(
+        F.col(order_col or ts_col), *[F.col(c) for c in df.columns if c != ts_col]
     )
+    win = F.min_by(F.struct(*[F.col(c) for c in df.columns]), order_struct)
     return (
-        out.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "_refresh_bucket")
+        out.groupBy(*key_cols, "_refresh_bucket")
+        .agg(win.alias("_w"))
+        .select(*[F.col(f"_w.{c}").alias(c) for c in df.columns])
     )
 
 

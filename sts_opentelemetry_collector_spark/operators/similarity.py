@@ -18,13 +18,31 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 DIM = 64
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session parallelism: the driver's
+    embeddings file is a single parquet row group, so an unspread scan
+    runs as ONE task and the per-vector math serializes on one core (same
+    fix as textops.spread; at 100 TB inputs arrive pre-split and this is
+    a no-op to remove)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _dot(a, b):
+    """JVM fold dot product (zip_with + aggregate). Kept for low-volume
+    sites; the hot 64-dim paths use the Arrow kernels below — HOF lambdas
+    are interpreted per element, and an unrolled 64-term expression blows
+    the 64 KB Janino method limit inside whole-stage codegen (measured:
+    the stage falls back to full interpretation, ~3x slower than the
+    fold)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -34,6 +52,95 @@ def _dot(a, b):
 
 def _norm(a):
     return F.sqrt(_dot(a, a))
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized exact kernels (guide §4.2): the per-row vector math is
+# the dominant cost of every embedding operator, and neither JVM path can
+# make it fast — HOF folds are interpreted per element, and unrolled
+# 64-term expressions exceed the 64 KB Janino method limit inside
+# whole-stage codegen (the stage then falls back to interpretation).
+# These pandas UDFs hand whole Arrow batches to numpy and reproduce the
+# fold's EXACT IEEE semantics: float32 inputs widen to float64 first
+# (exact), products are elementwise, and the sum is accumulated strictly
+# left-to-right starting from +0.0 via a column-wise vector loop — the
+# same add order as `aggregate(zip_with(...), 0.0, acc + v)`, so results
+# (and the DuckDB oracles) stay bit-identical. sqrt and division are
+# correctly-rounded IEEE ops in both numpy and the JVM.
+
+
+def _stack(s: pd.Series) -> np.ndarray:
+    return np.stack(s.to_numpy()).astype(np.float64, copy=False)
+
+
+def _exact_rowsum(m: np.ndarray) -> np.ndarray:
+    """Left-associative per-row sum starting at +0.0 — bit-identical to
+    the Spark fold (64 vectorized adds, not numpy's pairwise sum)."""
+    out = np.zeros(m.shape[0], dtype=np.float64)
+    for j in range(m.shape[1]):
+        out = out + m[:, j]
+    return out
+
+
+@F.pandas_udf(DoubleType())
+def _dot_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    if not len(a):
+        return pd.Series([], dtype="float64")
+    return pd.Series(_exact_rowsum(_stack(a) * _stack(b)))
+
+
+@F.pandas_udf(DoubleType())
+def _cos_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    """cosine = dot/(norm_a * norm_b), every op in fold-identical order."""
+    if not len(a):
+        return pd.Series([], dtype="float64")
+    av, bv = _stack(a), _stack(b)
+    d = _exact_rowsum(av * bv)
+    na = np.sqrt(_exact_rowsum(av * av))
+    nb = np.sqrt(_exact_rowsum(bv * bv))
+    return pd.Series(d / (na * nb))
+
+
+def _band_buckets_arrow(n_planes: int, bands: int = 1, plane_offset: int = 0):
+    """Factory: pandas UDF computing every band's sign-LSH bucket in one
+    Arrow crossing — array<int>, entry b = bucket of band b (planes
+    b*n_planes..+n_planes-1 offset by plane_offset). Bit j of a bucket is
+    [dot(v, plane) > 0] with the plane dot accumulated in fold order, so
+    buckets match lsh_bucket_expr exactly."""
+    planes = np.array(
+        [
+            plane_signs(plane_offset + b * n_planes + j)
+            for b in range(bands)
+            for j in range(n_planes)
+        ],
+        dtype=np.float64,
+    )
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _f(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        av = _stack(v)
+        buckets = np.zeros((len(av), bands), dtype=np.int32)
+        for b in range(bands):
+            for j in range(n_planes):
+                d = _exact_rowsum(av * planes[b * n_planes + j])
+                buckets[:, b] |= (d > 0).astype(np.int32) << j
+        return pd.Series(list(buckets))
+
+    return _f
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def _normalize_arrow(v: pd.Series) -> pd.Series:
+    """v / ||v|| with the norm's sum in fold order and one elementwise
+    IEEE division per dim — bit-identical to
+    transform(v, x -> cast(x as double) / norm)."""
+    if not len(v):
+        return pd.Series([], dtype=object)
+    av = _stack(v)
+    n = np.sqrt(_exact_rowsum(av * av))
+    return pd.Series(list(av / n[:, None]))
 
 
 def cosine_topk(
@@ -49,11 +156,7 @@ def cosine_topk(
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(
-                _dot(F.col("embedding"), F.col("qv"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
-                4,
-            ).alias("cos_sim"),
+            F.round(_cos_arrow(F.col("embedding"), F.col("qv")), 4).alias("cos_sim"),
         )
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
@@ -76,7 +179,10 @@ def plane_signs(plane: int, dim: int = DIM) -> list[float]:
 
 def lsh_bucket_expr(emb_col, n_planes: int = 4, plane_offset: int = 0):
     """Sign-LSH bucket id: bit j set iff dot(v, plane_{offset+j}) > 0.
-    plane_offset selects a disjoint plane set per band (band stacking)."""
+    plane_offset selects a disjoint plane set per band (band stacking).
+    JVM fold form, kept as the declarative reference; the operators below
+    compute buckets through _band_buckets_arrow (same bits, one Arrow
+    crossing instead of n_planes interpreted folds per row)."""
     bucket = F.lit(0)
     for j in range(n_planes):
         signs = F.array(*[F.lit(s) for s in plane_signs(plane_offset + j)])
@@ -87,8 +193,11 @@ def lsh_bucket_expr(emb_col, n_planes: int = 4, plane_offset: int = 0):
 
 def lsh_buckets(embeddings: DataFrame, n_planes: int = 4) -> DataFrame:
     """Bucket histogram: the IVF/LSH partitioning an ANN query would probe."""
+    bucket = F.element_at(
+        _band_buckets_arrow(n_planes)(F.col("embedding")), 1
+    )
     return (
-        embeddings.select(lsh_bucket_expr(F.col("embedding"), n_planes).alias("bucket"))
+        embeddings.select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("bucket_size"))
     )
@@ -100,7 +209,8 @@ def ann_lsh_topk(
     """ANN: probe only the query's LSH bucket, then exact cosine within it.
     At scale: bucket becomes the partition key (one-bucket scan)."""
     with_bucket = embeddings.withColumn(
-        "bucket", lsh_bucket_expr(F.col("embedding"), n_planes)
+        "bucket",
+        F.element_at(_band_buckets_arrow(n_planes)(F.col("embedding")), 1),
     )
     q = with_bucket.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
@@ -110,11 +220,7 @@ def ann_lsh_topk(
     ).where(F.col("vec_id") != query_vec_id)
     scored = candidates.select(
         "vec_id",
-        F.round(
-            _dot(F.col("embedding"), F.col("qv"))
-            / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
-            4,
-        ).alias("cos_sim"),
+        F.round(_cos_arrow(F.col("embedding"), F.col("qv")), 4).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
@@ -130,7 +236,8 @@ def ann_lsh_topk_multiprobe(
     probe rows against the bucket-partitioned table — the scan touches
     (n_planes+1)/2^n_planes of the data, never all of it."""
     with_bucket = embeddings.withColumn(
-        "bucket", lsh_bucket_expr(F.col("embedding"), n_planes)
+        "bucket",
+        F.element_at(_band_buckets_arrow(n_planes)(F.col("embedding")), 1),
     )
     q = with_bucket.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
@@ -152,11 +259,7 @@ def ann_lsh_topk_multiprobe(
     )
     scored = candidates.select(
         "vec_id",
-        F.round(
-            _dot(F.col("embedding"), F.col("qv"))
-            / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
-            4,
-        ).alias("cos_sim"),
+        F.round(_cos_arrow(F.col("embedding"), F.col("qv")), 4).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
@@ -194,15 +297,11 @@ def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
     cents = embeddings.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
     )
-    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+    scored = _spread(embeddings).crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
         "centroid_id",
-        F.round(
-            _dot(F.col("embedding"), F.col("cv"))
-            / (_norm(F.col("embedding")) * _norm(F.col("cv"))),
-            4,
-        ).alias("sim"),
+        F.round(_cos_arrow(F.col("embedding"), F.col("cv")), 4).alias("sim"),
     )
     best = F.max_by(
         F.struct(F.col("centroid_id"), F.col("embedding")),
@@ -245,14 +344,10 @@ def kmeans_refine(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
             lambda s: s["mval"],
         ).alias("cv")
     )
-    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+    scored = _spread(embeddings).crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "centroid_id",
-        F.round(
-            _dot(F.col("embedding"), F.col("cv"))
-            / (_norm(F.col("embedding")) * _norm(F.col("cv"))),
-            4,
-        ).alias("sim"),
+        F.round(_cos_arrow(F.col("embedding"), F.col("cv")), 4).alias("sim"),
     )
     best = F.max_by(
         F.col("centroid_id"),
@@ -288,9 +383,7 @@ def ivf_topk(
         cents.crossJoin(F.broadcast(q))
         .select(
             "centroid_id",
-            F.round(
-                _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 4
-            ).alias("qsim"),
+            F.round(_cos_arrow(F.col("cv"), F.col("qv")), 4).alias("qsim"),
         )
         .orderBy(F.desc("qsim"), F.asc("centroid_id"))
         .limit(nprobe)
@@ -301,11 +394,7 @@ def ivf_topk(
     )
     scored = candidates.crossJoin(F.broadcast(q)).select(
         "vec_id",
-        F.round(
-            _dot(F.col("embedding"), F.col("qv"))
-            / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
-            4,
-        ).alias("cos_sim"),
+        F.round(_cos_arrow(F.col("embedding"), F.col("qv")), 4).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
@@ -336,29 +425,19 @@ def near_dup_pairs_lsh(
     the label post-filter path for blocked variants without a re-join.
     """
     # normalize ONCE per vector: cosine of candidates is then a single
-    # dot fold instead of dot + two norm folds per pair. The norm is
-    # materialized as its own column FIRST — a _norm() embedded in the
-    # transform lambda would be re-folded per element (interpreted HOFs
-    # have no CSE), turning O(dim) into O(dim^2) per vector.
-    band_buckets = F.array(
-        *[
-            lsh_bucket_expr(F.col("embedding"), n_planes, plane_offset=b * n_planes)
-            for b in range(bands)
-        ]
-    )
-    base = embeddings.select(
+    # dot per pair instead of dot + two norms. Both the normalized vector
+    # and every band's bucket come from the Arrow kernels — one vectorized
+    # numpy pass each, exact fold semantics (see the kernel block above).
+    base = _spread(embeddings).select(
         "vec_id",
         *extra_cols,
-        "embedding",
-        _norm(F.col("embedding")).alias("_n"),
-        band_buckets.alias("_bb"),
+        _normalize_arrow(F.col("embedding")).alias("nv"),
+        _band_buckets_arrow(n_planes, bands)(F.col("embedding")).alias("_bb"),
     )
     t = base.select(
         "vec_id",
         *extra_cols,
-        F.transform(
-            F.col("embedding"), lambda x: x.cast("double") / F.col("_n")
-        ).alias("nv"),
+        "nv",
         F.posexplode(F.col("_bb")).alias("band", "bucket"),
     ).persist()
     # ^ the self-join references the normalized+bucketed frame twice and
@@ -370,7 +449,7 @@ def near_dup_pairs_lsh(
 
     t = register_cache(t, cache_registry)
     a, b = t.alias("a"), t.alias("b")
-    cos = F.round(_dot(F.col("a.nv"), F.col("b.nv")), 4)
+    cos = F.round(_dot_arrow(F.col("a.nv"), F.col("b.nv")), 4)
     out_cols = [
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
@@ -411,15 +490,16 @@ def near_dup_pairs(
     )
 
 
-def _l2(a, b):
-    """Squared euclidean distance between two equal-length arrays — one
-    row-local zip_with + fold (sequential per row, so bit-identical
-    across engines/partitionings)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _l2(a, b, dim: int = DIM):
+    """Squared euclidean distance between two fixed-length arrays —
+    unrolled left-associative sum, bit-identical to the former
+    zip_with+aggregate fold (same term order, no casts, leading +0.0),
+    codegen'd instead of interpreted (see _dot)."""
+    s = F.lit(0.0)
+    for i in range(1, dim + 1):
+        d = F.element_at(a, i) - F.element_at(b, i)
+        s = s + d * d
+    return s
 
 
 def pq_subvector(emb_col, j: int, sub_dim: int):
@@ -468,7 +548,7 @@ def pq_codes(embeddings: DataFrame, m: int = 4, k: int = 8,
     (the broadcast nested loop is the k-row codebook side)."""
     sub = dim // m
     books = pq_codebooks(embeddings, m, k, dim)
-    subvecs = embeddings.select(
+    subvecs = _spread(embeddings).select(
         "vec_id",
         F.explode(
             F.array(
@@ -486,7 +566,7 @@ def pq_codes(embeddings: DataFrame, m: int = 4, k: int = 8,
         "vec_id",
         "subspace",
         "code",
-        F.round(_l2(F.col("sv"), F.col("cv")), 4).alias("d2"),
+        F.round(_l2(F.col("sv"), F.col("cv"), sub), 4).alias("d2"),
     )
     best = scored.groupBy("vec_id", "subspace").agg(
         F.min_by(F.col("code"), F.struct(F.col("d2"), F.col("code"))).alias("code")
@@ -524,9 +604,9 @@ def pq_adc_topk(embeddings: DataFrame, query_vec_id: int = 0, k_top: int = 10,
     lut = books.crossJoin(F.broadcast(q)).select(
         "subspace",
         "code",
-        F.round(_l2(F.col("cv"), F.element_at(qsub, F.col("subspace") + 1)), 4).alias(
-            "d2"
-        ),
+        F.round(
+            _l2(F.col("cv"), F.element_at(qsub, F.col("subspace") + 1), sub), 4
+        ).alias("d2"),
     )
     codes = pq_codes(embeddings, m, k, dim).where(F.col("vec_id") != query_vec_id)
     exploded = codes.select(

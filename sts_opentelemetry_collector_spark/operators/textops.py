@@ -342,8 +342,11 @@ def source_quality_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     source (map-side partial agg). Sources are few (a dimension), so the
     final agg frame is tiny; AQE handles any mega-source skew."""
     # materialize the token array ONCE (no-CSE HOF rule, see
-    # repetition_stats); every stat derives from the shared column
-    base = docs.select("source", tokens_col(text_col).alias("_toks"))
+    # repetition_stats); every stat derives from the shared column.
+    # spread: see language_id — the per-row HOF stats (sort+fold top-word
+    # count, bigram distinct) would otherwise serialize in the one-task
+    # scan of a single-row-group file.
+    base = spread(docs).select("source", tokens_col(text_col).alias("_toks"))
     tt = F.col("_toks")
     nn = F.size(tt)
     stop = F.size(
@@ -752,52 +755,62 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_near_dup_pairs(
     docs: DataFrame, max_hamming: int = 2, cache_registry: list | None = None
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= k, banded on signature
-    chunks: the 16-bit signature splits into 4 disjoint 4-bit chunks; by
-    pigeonhole, Hamming <= 2 flips at most 2 chunks, so every true pair
-    shares at least one identical chunk — an equi-join on
-    (chunk_idx, chunk_value) finds all of them with NO cartesian.
-    Candidates sharing a chunk are then exact-filtered on bit_count(xor).
+    """Near-dup pairs by SimHash Hamming distance <= k via HAMMING-BALL
+    QUERY EXPANSION: one side explodes each signature into the
+    sum(C(16, i) for i <= k) xor-masked probes of its radius-k ball
+    (k=2: 1 + 16 + 120 = 137 probes), the other side keeps the raw
+    signature, and a single equi-join on the 16-bit value emits EXACTLY
+    the true pairs — pair (a, b) matches on precisely one mask, the one
+    equal to a.simhash XOR b.simhash.
+
+    This replaces the earlier 4-bit-chunk pigeonhole banding: with only
+    16 distinct values per chunk, every (chunk, value) bucket held ~n/16
+    docs and the bucket self-join materialized ~n²/8 candidate rows
+    before the Hamming filter — quadratic in the corpus. Expansion costs
+    a fixed 137x row fan-out (linear in n) and the join output IS the
+    result set; no candidate superset, no post-filter pass, no
+    dropDuplicates shuffle (each pair appears exactly once by the
+    unique-mask argument). Same output rows, columns, and hamming
+    values.
+
     cache_registry: see cache.py — the persisted signature index registers
     there (or in the session registry) for release after the consuming
     action."""
+    from itertools import combinations
+
     from .cache import register_cache
 
-    s = simhash16(docs)
-    chunked = s.select(
+    masks = [0]
+    for r in range(1, max_hamming + 1):
+        for bits in combinations(range(16), r):
+            m = 0
+            for b_ in bits:
+                m |= 1 << b_
+            masks.append(m)
+
+    s = simhash16(docs).persist()
+    # ^ referenced by both join sides; persist is the materialized-
+    # signature-index pattern (at scale this IS a stored table)
+    s = register_cache(s, cache_registry)
+    probes = s.select(
+        F.col("doc_id"),
+        F.col("simhash"),
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("_mask"),
+    ).select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_idx"),
-                        F.shiftright(F.col("simhash"), 4 * c)
-                        .bitwiseAND(F.lit(0xF))
-                        .alias("chunk_val"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("ch"),
-    ).select(
-        "doc_id", "simhash", F.col("ch.chunk_idx").alias("chunk_idx"),
-        F.col("ch.chunk_val").alias("chunk_val"),
-    ).persist()
-    # ^ the self-join references the signature frame twice; persist is the
-    # materialized-signature-index pattern (at scale this IS a table)
-    chunked = register_cache(chunked, cache_registry)
-    a, b = chunked.alias("a"), chunked.alias("b")
+        F.col("simhash").bitwiseXOR(F.col("_mask")).alias("probe_sig"),
+    )
+    a, b = probes.alias("a"), s.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, on=["chunk_idx", "chunk_val"])
+        a.join(b, F.col("a.probe_sig") == F.col("b.simhash"))
         .where((F.col("a.doc_id") < F.col("b.doc_id")) & (ham <= max_hamming))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -826,7 +839,9 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .when(hits["es"] >= hits["de"], F.lit("es"))
         .otherwise(F.lit("de"))
     )
-    return docs.select(
+    # spread: single-row-group input files scan as ONE task; the per-row
+    # HOF stats would serialize on one core (see spread docstring)
+    return spread(docs).select(
         "doc_id",
         hits["en"].alias("en_hits"),
         hits["es"].alias("es_hits"),
@@ -857,7 +872,8 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .when(n_tokens >= 16, F.lit("mid"))
         .otherwise(F.lit("low"))
     )
-    return docs.select(
+    # spread: see language_id — parallelize the row-local HOF stats
+    return spread(docs).select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         mean_tok_len.alias("mean_token_len"),
@@ -868,8 +884,8 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens, alpha tokens (BPE-ish regex),
-    and a chars/4 subword estimate."""
-    return docs.select(
+    and a chars/4 subword estimate. spread: see language_id."""
+    return spread(docs).select(
         "doc_id",
         F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit("[a-z]+"), 0)).alias("alpha_tokens"),
@@ -881,7 +897,8 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the punctuation/case-normalized text
     (the D5 content-hash pattern applied to documents)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
-    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    # spread: see language_id — the per-row regex rewrite + md5 dominate
+    return spread(docs).select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
 def top_token_count(toks):
@@ -1172,8 +1189,10 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text") -> DataFrame:
     row_number window, which would sort-shuffle the full exploded frame.
     Tie-break on the ROUNDED score then token asc keeps the argmax
     engine-portable (ln ULP differences can't flip the winner)."""
+    # spread: the split+explode feeding BOTH aggregates runs inside the
+    # scan stage — a single-row-group file would serialize it on one core
     tf = (
-        docs.select("doc_id", F.explode(tokens_col(text_col)).alias("token"))
+        spread(docs).select("doc_id", F.explode(tokens_col(text_col)).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -1222,9 +1241,13 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     per-doc average (doc groupBy); corpus token total is a 1-row
     broadcast. Mean rounded to 4 (cross-engine double summation order +
     ln ULP)."""
-    tok = docs.select("doc_id", F.explode(tokens_col(text_col)).alias("token"))
+    # spread: parallelize the split+explode out of the one-task scan; the
+    # identical exchange under freq/scored is computed once (ReuseExchange)
+    tok = spread(docs).select("doc_id", F.explode(tokens_col(text_col)).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    # corpus token total == Σ per-token counts: derive it from the freq
+    # dim (token-cardinality rows) instead of a third full explode pass
+    total = freq.agg(F.sum("cnt").alias("total"))
     scored = (
         tok.join(freq, on="token")
         .crossJoin(F.broadcast(total))
@@ -1271,7 +1294,9 @@ def bigram_logprob(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bg = docs.select("doc_id", F.explode(bigrams).alias("b")).select(
+    # spread: the bigram build + explode feeding the persisted doc_bg
+    # would otherwise run single-task on a single-row-group file
+    bg = spread(docs).select("doc_id", F.explode(bigrams).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
     # pre-aggregate to (doc, bigram, multiplicity) FIRST: webtext is
@@ -1352,7 +1377,8 @@ def bigram_logprob_scored(
             ),
         ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         return (
-            docs.select("doc_id", F.explode(bigrams).alias("b"))
+            spread(docs)  # see bigram_logprob — parallelize the explode
+            .select("doc_id", F.explode(bigrams).alias("b"))
             .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
             .groupBy("doc_id", "w1", "w2")
             .agg(F.count(F.lit(1)).alias("m"))
@@ -1361,9 +1387,13 @@ def bigram_logprob_scored(
     train_bg = register_cache(doc_bigrams(train_docs).persist(), cache_registry)
     pair_cnt = train_bg.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
     prefix_cnt = train_bg.groupBy("w1").agg(F.sum("m").alias("c1"))
-    train_tok = train_docs.select(F.explode(tokens_col(text_col)).alias("token"))
+    train_tok = spread(train_docs).select(
+        F.explode(tokens_col(text_col)).alias("token")
+    )
     uni_cnt = train_tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
-    total = train_tok.agg(F.count(F.lit(1)).alias("n_total"))
+    # train token total == Σ unigram counts: one tiny agg over the token
+    # dim instead of a second full explode pass over the train corpus
+    total = uni_cnt.agg(F.sum("cu").alias("n_total"))
 
     scored = (
         doc_bigrams(score_docs)
@@ -1421,9 +1451,18 @@ def line_dedup(
     reassembly is one doc-keyed groupBy with an array_sort over
     (idx, line) structs — NO window, no per-doc sort shuffle beyond the
     group itself."""
+    from .cache import register_cache
+
     lines = docs.select(
         "doc_id", F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "line")
     ).withColumn("_lh", F.md5("line"))
+    # the boilerplate-count leg AND the keep leg both consume the
+    # exploded+hashed line table; without persist the explode + per-line
+    # md5 (and whatever expression produced `text`) evaluate once per
+    # leg. This frame IS the materialized line-digest table a CCNet-style
+    # pipeline stores between stages; registered for release after the
+    # consuming action (cache.py lifecycle).
+    lines = register_cache(lines.persist())
     boiler = (
         lines.groupBy("_lh")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
