@@ -96,14 +96,15 @@ def with_attrs(parsed: DataFrame) -> DataFrame:
     the analog of the reference's per-record attribute views
     (internal/model.go:30-45). Values stringified, null-valued keys kept out
     (map semantics: absent key == null lookup); sensitive keys stripped
-    (P12)."""
+    (P12) — statically, at map-BUILD time: the keys here are literals, so
+    excluding sensitive names from the pair list is equivalent to the
+    strip_sensitive map_filter and saves one interpreted HOF pass per row
+    (map_filter lambdas don't participate in codegen)."""
     pairs = []
     for c in ATTRS_SOURCE_COLS:
-        if c not in parsed.columns:
+        if c not in parsed.columns or c in SENSITIVE_ATTRS:
             continue
         pairs.append(F.lit(c))
         pairs.append(F.col(c).cast("string"))
-    attrs = strip_sensitive(
-        F.map_filter(F.create_map(*pairs), lambda k, v: v.isNotNull())
-    )
+    attrs = F.map_filter(F.create_map(*pairs), lambda k, v: v.isNotNull())
     return parsed.withColumn("attrs", attrs)

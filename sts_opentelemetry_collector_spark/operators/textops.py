@@ -90,6 +90,8 @@ def ngram_jaccard_pairs(
     J=0.8) — the standard LSH knob, tune (bands, rows) per corpus.
     Jaccard = |A∩B| / |A∪B| via array HOFs on the surviving candidates;
     doc_a < doc_b canonicalizes."""
+    from .cache import register_cache
+
     keyed = lsh_band_index(docs, bands=bands, n=n)
     a, b = keyed.alias("a"), keyed.alias("b")
     candidates = (
@@ -98,7 +100,16 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])  # a pair may share several bands
     )
-    return _jaccard_on_candidates(candidates, docs, n=n, threshold=threshold)
+    pairs = _jaccard_on_candidates(candidates, docs, n=n, threshold=threshold)
+    # persist the VERIFIED pair list: it is the terminal near-dup artifact
+    # (true-pair-density rows, tiny next to the candidate volume) that the
+    # whole downstream dedup family — connected components, apply,
+    # keep-best — consumes; without it every consumer re-runs the
+    # candidate join + exact-Jaccard verify, the most expensive stage of
+    # the family (measured 4.4M candidates -> 2.5k pairs at bench sf1.0).
+    # At 100 TB this frame IS the stored pair table a corpus pipeline
+    # materializes between the verify and group stages.
+    return register_cache(pairs.persist())
 
 
 def lsh_band_index(docs: DataFrame, bands: int = 4, n: int = 2) -> DataFrame:
@@ -162,6 +173,29 @@ def _jaccard_on_candidates(
         .select(F.col("doc_id"), shingles_col(n=n).alias("sh"))
         .persist(),  # referenced twice (sh_a / sh_b joins)
         cache_registry,
+    )
+    # size-ratio prefilter (provably output-preserving): inter <= min(|A|,|B|)
+    # and union >= max(|A|,|B|), so J <= min/max — a pair whose shingle-count
+    # ratio is below the threshold cannot pass the exact filter. The final
+    # compare is on round(J, 4), so keep a 1e-4 slack (round can lift J by
+    # at most 5e-5). Sizes are a 2-int dim joined BEFORE the shingle arrays
+    # attach — the expensive array shuffle + intersect then runs only on
+    # plausible pairs.
+    sizes = t.select("doc_id", F.size("sh").alias("_sz"))
+    candidates = (
+        candidates.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("_sz").alias("_sa")),
+            on="doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("_sz").alias("_sb")),
+            on="doc_b",
+        )
+        .where(
+            F.least("_sa", "_sb").cast("double")
+            >= F.lit(max(threshold - 1e-4, 0.0)) * F.greatest("_sa", "_sb")
+        )
+        .select("doc_a", "doc_b")
     )
     paired = (
         candidates.join(t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), on="doc_a")
@@ -1323,12 +1357,18 @@ def bigram_logprob(
             F.log(F.col("c2").cast("double") / F.col("c1")).alias("lp"),
         )
     )
-    return scored.groupBy("doc_id").agg(
+    out = scored.groupBy("doc_id").agg(
         F.round(F.sum(F.col("lp") * F.col("m")) / F.sum("m"), 4).alias(
             "avg_bigram_logprob"
         ),
         F.sum("m").alias("n_bigrams"),
     )
+    # persist the per-doc score table (3 narrow columns): it is the
+    # LM-quality artifact consumers build on (ccnet_buckets thresholds
+    # and buckets over it) — without this every consumer re-runs the
+    # count-dim joins over the token-scale doc_bg frame. Registered for
+    # release after the consuming action (cache.py lifecycle).
+    return register_cache(out.persist(), cache_registry)
 
 
 def bigram_logprob_scored(
@@ -1540,19 +1580,39 @@ def decontaminate(
     NO shuffle of corpus rows (broadcast hash join), then one groupBy on
     the surviving (rare) matches."""
     # guard: a doc with < n tokens has no shingles (F.sequence(1, size-2)
-    # would DESCEND for short docs instead of being empty)
+    # would DESCEND for short docs instead of being empty). The token
+    # array is materialized ONCE as its own column first — interpreted
+    # HOFs have no CSE, so a tokens_col() inside both the size guard and
+    # the shingle transform would re-split the text twice per row.
+    def tokenized(df):
+        return df.select("doc_id", tokens_col(text_col).alias("_toks"))
+
     def safe_shingles():
-        return F.when(
-            F.size(tokens_col(text_col)) >= n, shingles_col(text_col, n=n)
-        ).otherwise(F.array().cast("array<string>"))
+        toks = F.col("_toks")
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, i + j) for j in range(n)],
+                ),
+            )
+        )
+        return F.when(F.size(toks) >= n, sh).otherwise(
+            F.array().cast("array<string>")
+        )
 
     bench_sh = (
-        benchmark.select(F.explode(safe_shingles()).alias("shingle")).distinct()
+        tokenized(benchmark)
+        .select(F.explode(safe_shingles()).alias("shingle"))
+        .distinct()
     )
     # spread: a compacted single-file corpus sample would otherwise run
     # the whole shingle explode in ONE task (at 100 TB inputs arrive
     # pre-split and this repartition is a no-op to remove)
-    doc_sh = spread(docs).select("doc_id", F.explode(safe_shingles()).alias("shingle"))
+    doc_sh = tokenized(spread(docs)).select(
+        "doc_id", F.explode(safe_shingles()).alias("shingle")
+    )
     return (
         doc_sh.join(F.broadcast(bench_sh), on="shingle")
         .groupBy("doc_id")
