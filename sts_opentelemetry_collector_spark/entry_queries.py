@@ -1795,15 +1795,29 @@ def _sg_spans(spark, sf):
     )
 
 
+def _sg_edges(spark, sf):
+    """Shared COMPLETED-EDGE table for the service-graph query family:
+    build_edges' pair join is the expensive stage and its output is
+    identical for all four consumers (edge counters, latency quantiles,
+    relations, components — they differ only in aggregation dims), so the
+    joined edge frame persists once per session (the service-graph
+    connector's edge store, materialized; cache.py lifecycle)."""
+    from .operators.cache import register_cache
+    from .operators.service_graph import build_edges
+
+    return register_cache(build_edges(_sg_spans(spark, sf)).persist())
+
+
 def q_sg_edge_metrics(spark, sf):
     """J1+A1: service-graph pair-join counters over spans derived in-plan
     from the events table (sources/spans.py spans_from_events) — runs the
     REAL build_edges pair join; the oracle mirrors the derivation + 1:1
     join algebraically (connector.go:253-343, :387-455)."""
-    from .operators.service_graph import service_graph_metrics
+    from .operators.aggregate import edge_metrics
 
-    counters, _hist = service_graph_metrics(_sg_spans(spark, sf))
-    return counters
+    return edge_metrics(
+        _sg_edges(spark, sf), ["client", "server", "connection_type"]
+    )
 
 
 # The oracle skips the spans union + self-join: client and server rows of a
@@ -1871,9 +1885,8 @@ def q_sg_latency_quantiles(spark, sf):
     lowerKey + (pos - floor(pos)) * (higherKey - lowerKey) interpolation
     over a sorted list, bit-identical IEEE ops."""
     from .operators.aggregate import latency_quantiles
-    from .operators.service_graph import build_edges
 
-    edges = build_edges(_sg_spans(spark, sf))
+    edges = _sg_edges(spark, sf)
     return latency_quantiles(
         edges, ["client", "server", "connection_type"], "client_latency_sec"
     )
@@ -1908,9 +1921,13 @@ def q_sg_relations(spark, sf):
     name fallback, and peer-service target overrides (including the extra
     consumer->peer relation for async edges)
     (ststopologyexporter/internal/topology.go:199-333)."""
-    from .operators.service_graph import metrics_to_relations, service_graph_metrics
+    from .operators.aggregate import edge_metrics
+    from .operators.service_graph import metrics_to_relations
 
-    counters, _ = service_graph_metrics(_sg_spans(spark, sf), extra_dims=_CONN_DIMS)
+    counters = edge_metrics(
+        _sg_edges(spark, sf),
+        ["client", "server", "connection_type"] + _CONN_DIMS,
+    )
     return metrics_to_relations(counters)
 
 
@@ -1971,9 +1988,13 @@ def q_sg_components(spark, sf):
     """A8: the database component rows emitted alongside 'database'
     relations when no peer.service names the target
     (ststopologyexporter/internal/topology.go:252-269)."""
-    from .operators.service_graph import metrics_to_components, service_graph_metrics
+    from .operators.aggregate import edge_metrics
+    from .operators.service_graph import metrics_to_components
 
-    counters, _ = service_graph_metrics(_sg_spans(spark, sf), extra_dims=_CONN_DIMS)
+    counters = edge_metrics(
+        _sg_edges(spark, sf),
+        ["client", "server", "connection_type"] + _CONN_DIMS,
+    )
     return metrics_to_components(counters)
 
 

@@ -90,8 +90,6 @@ def ngram_jaccard_pairs(
     J=0.8) — the standard LSH knob, tune (bands, rows) per corpus.
     Jaccard = |A∩B| / |A∪B| via array HOFs on the surviving candidates;
     doc_a < doc_b canonicalizes."""
-    from .cache import register_cache
-
     keyed = lsh_band_index(docs, bands=bands, n=n)
     a, b = keyed.alias("a"), keyed.alias("b")
     candidates = (
@@ -100,16 +98,7 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])  # a pair may share several bands
     )
-    pairs = _jaccard_on_candidates(candidates, docs, n=n, threshold=threshold)
-    # persist the VERIFIED pair list: it is the terminal near-dup artifact
-    # (true-pair-density rows, tiny next to the candidate volume) that the
-    # whole downstream dedup family — connected components, apply,
-    # keep-best — consumes; without it every consumer re-runs the
-    # candidate join + exact-Jaccard verify, the most expensive stage of
-    # the family (measured 4.4M candidates -> 2.5k pairs at bench sf1.0).
-    # At 100 TB this frame IS the stored pair table a corpus pipeline
-    # materializes between the verify and group stages.
-    return register_cache(pairs.persist())
+    return _jaccard_on_candidates(candidates, docs, n=n, threshold=threshold)
 
 
 def lsh_band_index(docs: DataFrame, bands: int = 4, n: int = 2) -> DataFrame:
@@ -204,9 +193,18 @@ def _jaccard_on_candidates(
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_distinct(F.concat(F.col("sh_a"), F.col("sh_b"))))
     jac = F.round(inter.cast("double") / union, 4)
-    return paired.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+    pairs = paired.select("doc_a", "doc_b", jac.alias("jaccard")).where(
         F.col("jaccard") >= threshold
     )
+    # persist the VERIFIED pair list: it is the terminal near-dup artifact
+    # (true-pair-density rows, tiny next to the candidate volume) that the
+    # whole downstream dedup family — connected components, apply,
+    # keep-best, incremental — consumes; without it every consumer
+    # re-runs the candidate join + exact-Jaccard verify, the most
+    # expensive stage of the family (measured 4.4M candidates -> 2.5k
+    # pairs at bench sf1.0). At 100 TB this frame IS the stored pair
+    # table a corpus pipeline materializes between verify and grouping.
+    return register_cache(pairs.persist(), cache_registry)
 
 
 def incremental_near_dup(
@@ -1230,6 +1228,13 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # tf is the (doc, token, count) term-frequency dim consumed TWICE (the
+    # df aggregation and the scoring join): persist so the explode+partial
+    # agg runs once (cache.py lifecycle; at scale this is the stored TF
+    # table of an inverted index build)
+    from .cache import register_cache
+
+    tf = register_cache(tf.persist())
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -1275,9 +1280,11 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     per-doc average (doc groupBy); corpus token total is a 1-row
     broadcast. Mean rounded to 4 (cross-engine double summation order +
     ln ULP)."""
-    # spread: parallelize the split+explode out of the one-task scan; the
-    # identical exchange under freq/scored is computed once (ReuseExchange)
-    tok = spread(docs).select("doc_id", F.explode(tokens_col(text_col)).alias("token"))
+    # NO spread here (measured): unlike bigram_logprob there is no
+    # persisted intermediate to amortize the repartition over — the tok
+    # subtree is re-evaluated by both the freq and scored legs, and the
+    # extra exchange made the query 1.8x SLOWER (1.3s -> 2.4s at sf1.0)
+    tok = docs.select("doc_id", F.explode(tokens_col(text_col)).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     # corpus token total == Σ per-token counts: derive it from the freq
     # dim (token-cardinality rows) instead of a third full explode pass
