@@ -14,9 +14,11 @@ Reference semantics (connector/topologyconnector/internal/deduplicator.go):
 Spark redefinition (documented deviation, SURVEY.md §7.3.3): the reference
 is wall-clock stateful; a batch job gets DETERMINISTIC dedup by bucketing
 event time into refresh windows and keeping the first record per
-(projection-hash, window). Works unbounded: the key space is bounded per
-window, and `row_number` partitions shuffle-prune by the hash — at 100 TB
-this is one hash-partitioned shuffle, no driver state, AQE-coalesced.
+(projection-hash, window) via a `min_by` aggregate (partial-mergeable:
+map-side combine reduces each task to one candidate row per live group
+before the single hash-partitioned shuffle — no per-group sort, no
+driver state, AQE-coalesced; the r5-era row_number window sorted every
+group's full row set).
 
 A second entry point dedups the OUTPUT stream by element identity
 (external_id) — what the e2e dedup-suppression test observes

@@ -1,7 +1,6 @@
 """Vector similarity over the `embeddings` table (array<float> column).
 
-- Brute-force cosine top-k: the correctness baseline. Dot products via
-  zip_with + aggregate HOFs — JVM-side, no Python.
+- Brute-force cosine top-k: the correctness baseline.
 - Sign-LSH bucketing: the scale path — 100 TB of vectors can't all-pairs;
   random-hyperplane signs bucket vectors so search touches one bucket.
   Hyperplanes are deterministic ±1 patterns (engine-portable, matching the
@@ -9,9 +8,12 @@
 - Near-dup pairs: label-blocked cosine threshold — embedding-cosine
   near-duplicate detection for training-data dedup.
 
-All math is done in double precision after casting the float32 input, with
-left-to-right summation in both engines, so results are bit-comparable
-with the oracle after rounding.
+The hot 64-dim math runs in Arrow-vectorized numpy kernels (guide §4.2;
+see the kernel block below for why neither JVM path can be fast here);
+declarative zip_with+aggregate folds remain as the reference forms. All
+math is double precision after widening the float32 input, with strictly
+left-to-right summation in every implementation and both engines, so
+results are bit-comparable with the oracle after rounding.
 """
 
 from __future__ import annotations
