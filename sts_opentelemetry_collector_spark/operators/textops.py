@@ -929,8 +929,10 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the punctuation/case-normalized text
     (the D5 content-hash pattern applied to documents)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
-    # spread: see language_id — the per-row regex rewrite + md5 dominate
-    return spread(docs).select("doc_id", F.md5(norm).alias("fingerprint"))
+    # NO spread (measured): one regex rewrite + md5 per row is too cheap
+    # to amortize a full-text shuffle — 1.1s single-task vs 1.8s spread
+    # at sf1.0 (unlike the HOF-stat operators, where spread wins 3-4x)
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
 def top_token_count(toks):
