@@ -487,14 +487,19 @@ def run_pipeline(
                 err_rows.append(
                     (ds, "logs", "required output expression evaluated to null", n)
                 )
-    sinks.append(
-        spark.createDataFrame(
-            err_rows,
-            "data_source string, signal string, error string, error_count long",
-        ).repartition(1),
-        "mapping_errors",
-        partition_by=None,
-    )
+    # zero errors (the common case) skips the commit entirely: an empty
+    # append still paid a full txlog write+commit round trip (~0.3s of
+    # data-invariant driver tail per run); the reference likewise emits
+    # error records only when errors exist
+    if err_rows:
+        sinks.append(
+            spark.createDataFrame(
+                err_rows,
+                "data_source string, signal string, error string, error_count long",
+            ).repartition(1),
+            "mapping_errors",
+            partition_by=None,
+        )
     sink_counts["mapping_errors"] = len(err_rows)
     _mark("mapping_errors_write")
 
